@@ -1,0 +1,170 @@
+"""Config / flag system.
+
+Reference status: argv + hard-coded constants in a C++ prototype (SURVEY.md §5
+"Config / flag system"; reference mount empty — provenance [PK]).  Here: one
+frozen-dataclass config tree.  Everything that changes *shapes or loop bounds*
+(capacities, pyramid levels, iteration caps) is a static Python int so the
+configs can be closed over / passed as static jit arguments; runtime scalars
+(tolerances, Huber delta) stay floats and are baked as compile-time constants
+when closed over.
+
+Camera intrinsics are a NamedTuple pytree so they can be traced (they vary per
+dataset, not per frame).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import NamedTuple
+
+
+class Intrinsics(NamedTuple):
+    """Pinhole camera intrinsics. A pytree (traced under jit).
+
+    TUM Freiburg defaults are provided by the classmethods; the reference
+    consumes TUM RGB-D sequences (SURVEY.md §2a R1: fx≈525, cx≈319.5 for fr1).
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+
+    @classmethod
+    def tum_fr1(cls) -> "Intrinsics":
+        return cls(517.3, 516.5, 318.6, 255.3)
+
+    @classmethod
+    def tum_fr2(cls) -> "Intrinsics":
+        return cls(520.9, 521.0, 325.1, 249.7)
+
+    @classmethod
+    def tum_fr3(cls) -> "Intrinsics":
+        return cls(535.4, 539.2, 320.1, 247.6)
+
+    @classmethod
+    def tum_default(cls) -> "Intrinsics":
+        """ROS default used by TUM tools when sequence is unknown."""
+        return cls(525.0, 525.0, 319.5, 239.5)
+
+    def scaled(self, factor: float) -> "Intrinsics":
+        """Intrinsics after downsampling the image by `factor` (e.g. 0.5).
+
+        Follows the convention that pixel (u, v) maps to ((u+0.5)*f - 0.5)
+        continuous coordinates; for factor = 1/2**k this is the standard
+        pyramid intrinsics update.
+        """
+        return Intrinsics(
+            self.fx * factor,
+            self.fy * factor,
+            (self.cx + 0.5) * factor - 0.5,
+            (self.cy + 0.5) * factor - 0.5,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Point-to-plane ICP solver parameters (SURVEY.md §2a R7)."""
+
+    max_iters: int = 30                  # per pyramid level
+    tol_delta: float = 1e-6              # ||δ||² convergence threshold
+    huber_delta: float = 0.05            # m — robust weight knee
+    max_corr_dist: float = 0.25          # m — reject correspondences beyond
+    normal_dot_min: float = 0.5          # reject if normals disagree (cosine)
+    damping: float = 1e-6                # Levenberg multiplicative diag damping
+    # Absolute damping, scaled by trace(H)/6: pins near-unobservable DoF
+    # (e.g. roll against a dominant plane) instead of letting GN launch huge
+    # steps along them.  Trust-region clamps bound any single update.
+    damping_abs: float = 1e-4
+    max_rot_step: float = 0.3            # rad per GN step
+    max_trans_step: float = 0.3          # m per GN step
+    pyramid_levels: int = 3              # coarse-to-fine image pyramid
+    iters_per_level: tuple = (12, 8, 8)  # index 0 = FINEST level
+    depth_min: float = 0.1               # m — valid depth range
+    depth_max: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelConfig:
+    """Voxel-grid downsample + map parameters (SURVEY.md §2a R4, R10)."""
+
+    voxel_size: float = 0.02             # m (downsample)
+    map_voxel_size: float = 0.02         # m (global map)
+    capacity: int = 1 << 14              # max points kept by a downsample
+    map_capacity: int = 1 << 17          # max points in the live voxel map
+    hash_slots: int = 1 << 18            # power-of-2 slot count for grid hash
+    origin: float = -20.0                # m — world AABB min corner (all axes)
+    extent: float = 40.0                 # m — world AABB edge length
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe promotion thresholds (SURVEY.md §2a R9)."""
+
+    max_translation: float = 0.15        # m relative to current keyframe
+    max_rotation: float = 0.30           # rad
+    min_inlier_fraction: float = 0.40    # re-anchor when overlap drops
+    max_keyframes: int = 256             # static capacity of keyframe store
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Pose-graph backend parameters (SURVEY.md §2a R11, R12)."""
+
+    max_nodes: int = 256
+    max_edges: int = 1024
+    gn_iters: int = 20
+    damping: float = 1e-4
+    rot_weight: float = 100.0            # information weight on rotation part
+    trans_weight: float = 100.0
+    # loop closure proposal
+    lc_max_dist: float = 0.7             # m — candidate proximity radius
+    lc_min_gap: int = 20                 # keyframe-index separation
+    lc_max_residual: float = 0.05        # m — accept closure if ICP rms below
+    lc_min_inliers: float = 0.5
+    # Observability gate: smallest eigenvalue of the per-inlier normal
+    # coverage matrix (Σw·nnᵀ)/Σw must exceed this, else the alignment can
+    # slide along dominant planes with near-zero point-to-plane residual and
+    # the "closure" just re-encodes drift.
+    lc_min_normal_coverage: float = 0.03
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Top-level system config."""
+
+    icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
+    voxel: VoxelConfig = dataclasses.field(default_factory=VoxelConfig)
+    keyframe: KeyframeConfig = dataclasses.field(default_factory=KeyframeConfig)
+    posegraph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
+    height: int = 480
+    width: int = 640
+    depth_scale: float = 5000.0          # TUM 16-bit PNG scale (SURVEY §2a R1)
+    use_pallas: bool = True              # Pallas kernels vs pure-jnp oracle
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "SLAMConfig":
+        raw = json.loads(text)
+        sub = {
+            "icp": ICPConfig,
+            "voxel": VoxelConfig,
+            "keyframe": KeyframeConfig,
+            "posegraph": PoseGraphConfig,
+        }
+        kw = {}
+        for k, v in raw.items():
+            if k in sub and isinstance(v, dict):
+                if "iters_per_level" in v and isinstance(v["iters_per_level"], list):
+                    v = dict(v, iters_per_level=tuple(v["iters_per_level"]))
+                kw[k] = sub[k](**v)
+            else:
+                kw[k] = v
+        return cls(**kw)
