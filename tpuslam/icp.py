@@ -1,0 +1,226 @@
+"""Point-to-plane ICP solver (SURVEY.md §2a R7, §2b N9, call stack §3.2).
+
+Reference status: C++ loop — correspond → residual → Huber → 6×6 GN →
+SE(3) update → converge check (SURVEY.md §2a R7; provenance [B:5]).
+
+TPU design: the whole alignment is one jitted `lax.while_loop` whose body is
+correspond (projective gather or grid-hash probe — no k-d tree) → fused GN
+reduction → 6×6 solve → left-multiplied `se3.exp` update.  Coarse-to-fine
+pyramid levels are unrolled in Python (static shapes per level,
+SURVEY.md §7 "Hard parts").  Early convergence exits via the while_loop
+predicate — no host round-trips inside the loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpuslam.config import ICPConfig, Intrinsics
+from tpuslam.geom import se3
+from tpuslam.geom.cloud import PointCloud
+from tpuslam.kernels.correspond import (
+    GridIndex,
+    brute_force_correspond,
+    grid_hash_correspond,
+    projective_correspond,
+)
+from tpuslam.kernels.gn_reduce import gn_reduce_auto, solve_gn_step
+
+
+class ICPResult(NamedTuple):
+    T: jnp.ndarray               # (4, 4) estimated src→dst transform
+    iters: jnp.ndarray           # () int32 iterations executed (last level)
+    rms: jnp.ndarray             # () float inlier RMS point-to-plane residual
+    inlier_fraction: jnp.ndarray  # () float inliers / valid source points
+    converged: jnp.ndarray       # () bool
+    H: jnp.ndarray               # (6, 6) final GN information matrix —
+    #                              observability diagnostics (loop-closure
+    #                              gating reads eig(H[:3,:3]) = Σw·nnᵀ)
+
+
+class _CarryState(NamedTuple):
+    T: jnp.ndarray
+    it: jnp.ndarray
+    delta_sq: jnp.ndarray
+    rms: jnp.ndarray
+    inlier_fraction: jnp.ndarray
+    H: jnp.ndarray
+    num_inliers: jnp.ndarray
+
+
+def _use_pallas_now(requested: bool) -> bool:
+    """Pallas kernels are the TPU production path; on other backends the jnp
+    oracle is both faster and exact (interpret mode is for kernel tests)."""
+    import os
+
+    if os.environ.get("TPUSLAM_FORCE_PALLAS"):
+        return True
+    return requested and jax.default_backend() == "tpu"
+
+
+def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
+              cfg: ICPConfig, max_iters: int,
+              use_pallas: bool = False) -> ICPResult:
+    """Generic ICP driver; `correspond_fn(x, mask, src_n_rot)` supplies matches.
+
+    `correspond_fn` receives source points already mapped by the current
+    transform estimate and returns a `Correspondence`.
+    """
+    pallas_on = _use_pallas_now(use_pallas)
+
+    def body(state: _CarryState) -> _CarryState:
+        x = se3.transform_points(state.T, src.points)
+        n_rot = se3.rotate_vectors(state.T, src.normals)
+        corr = correspond_fn(x, src.mask, n_rot)
+        stats = gn_reduce_auto(x, corr.q, corr.n, corr.w, src.mask,
+                               cfg.huber_delta, use_pallas=pallas_on)
+        delta = solve_gn_step(stats.H, stats.b, cfg.damping, cfg.damping_abs,
+                              cfg.max_trans_step, cfg.max_rot_step)
+        T_new = se3.exp(delta) @ state.T
+        inl = jnp.maximum(stats.num_inliers, 1.0)
+        return _CarryState(
+            T=T_new,
+            it=state.it + 1,
+            delta_sq=jnp.sum(delta * delta),
+            rms=jnp.sqrt(stats.weighted_sq_sum / inl),
+            inlier_fraction=stats.num_inliers / jnp.maximum(stats.num_valid_src, 1.0),
+            H=stats.H,
+            num_inliers=stats.num_inliers,
+        )
+
+    def cond(state: _CarryState) -> jnp.ndarray:
+        return (state.it < max_iters) & (state.delta_sq > cfg.tol_delta ** 2)
+
+    init = _CarryState(
+        T=T0,
+        it=jnp.zeros((), jnp.int32),
+        delta_sq=jnp.full((), jnp.inf),
+        rms=jnp.full((), jnp.inf),
+        inlier_fraction=jnp.zeros(()),
+        H=jnp.zeros((6, 6), dtype=T0.dtype),
+        num_inliers=jnp.zeros(()),
+    )
+    out = lax.while_loop(cond, body, init)
+    return ICPResult(
+        T=out.T,
+        iters=out.it,
+        rms=out.rms,
+        inlier_fraction=out.inlier_fraction,
+        converged=out.delta_sq <= cfg.tol_delta ** 2,
+        H=out.H,
+    )
+
+
+def align_clouds(src: PointCloud, dst: PointCloud, T0: jnp.ndarray,
+                 cfg: ICPConfig, use_grid: bool = True) -> ICPResult:
+    """Align two unorganized clouds (loop closure / map alignment path).
+
+    `use_grid=False` selects the O(N·M) brute-force oracle (tests, tiny clouds).
+    """
+    if use_grid:
+        index = _build_index(dst, cfg)
+
+        def correspond(x, mask, n_rot):
+            return grid_hash_correspond(x, mask, index, cfg.max_corr_dist)
+
+    else:
+
+        def correspond(x, mask, n_rot):
+            return brute_force_correspond(x, mask, dst, cfg.max_corr_dist)
+
+    return _icp_loop(correspond, src, T0, cfg, cfg.max_iters)
+
+
+align_clouds_jit = jax.jit(align_clouds, static_argnames=("cfg", "use_grid"))
+
+
+def _build_index(dst: PointCloud, cfg: ICPConfig) -> GridIndex:
+    from tpuslam.kernels.correspond import build_grid_index
+
+    # Cell edge ≥ max correspondence distance ⇒ 27-cell probe is sufficient.
+    return build_grid_index(dst, cell=float(cfg.max_corr_dist))
+
+
+class Frame(NamedTuple):
+    """One organized RGB-D frame at a single pyramid level."""
+
+    points: jnp.ndarray    # (H, W, 3) camera-frame
+    normals: jnp.ndarray   # (H, W, 3)
+    mask: jnp.ndarray      # (H, W)
+
+    def as_cloud(self) -> PointCloud:
+        h, w, _ = self.points.shape
+        nm = self.normals.reshape(h * w, 3)
+        return PointCloud(
+            points=self.points.reshape(h * w, 3),
+            normals=nm,
+            mask=self.mask.reshape(h * w) & (jnp.sum(nm * nm, axis=-1) > 0.5),
+        )
+
+
+def subsample_frame(frame: Frame, factor: int = 2) -> Frame:
+    """Stride-subsample an organized frame (pyramid level down)."""
+    return Frame(
+        points=frame.points[::factor, ::factor],
+        normals=frame.normals[::factor, ::factor],
+        mask=frame.mask[::factor, ::factor],
+    )
+
+
+def build_pyramid(frame: Frame, levels: int):
+    """[finest, ..., coarsest] stride-2 pyramid."""
+    pyr = [frame]
+    for _ in range(levels - 1):
+        pyr.append(subsample_frame(pyr[-1]))
+    return pyr
+
+
+def align_frames(
+    src_pyr,
+    dst_pyr,
+    K: Intrinsics,
+    T0: jnp.ndarray,
+    cfg: ICPConfig,
+    use_pallas: bool = False,
+) -> ICPResult:
+    """Coarse-to-fine projective ICP between two organized frames.
+
+    Estimates T s.t. `dst_point ≈ T · src_point` (pose of the src camera in
+    the dst camera frame).  Pyramid levels are unrolled; each level runs a
+    jitted while_loop with that level's static shapes.
+    """
+    levels = len(src_pyr)
+    T = T0
+    result = None
+    for li in range(levels - 1, -1, -1):  # coarsest → finest
+        src_f: Frame = src_pyr[li]
+        dst_f: Frame = dst_pyr[li]
+        K_l = K.scaled(1.0 / (2 ** li))
+        src_cloud = src_f.as_cloud()
+        h, w, _ = dst_f.points.shape
+
+        def correspond(x, mask, n_rot, dst_f=dst_f, K_l=K_l):
+            return projective_correspond(
+                x, mask,
+                dst_f.points, dst_f.normals, dst_f.mask,
+                K_l, cfg.max_corr_dist,
+                src_normals_in_dst=n_rot,
+                normal_dot_min=cfg.normal_dot_min,
+            )
+
+        iters = cfg.iters_per_level[li] if li < len(cfg.iters_per_level) else cfg.max_iters
+        result = _icp_loop(correspond, src_cloud, T, cfg, iters,
+                           use_pallas=use_pallas)
+        T = result.T
+    return result
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def align_frames_jit(src_pyr, dst_pyr, K: Intrinsics, T0: jnp.ndarray,
+                     cfg: ICPConfig, use_pallas: bool = False) -> ICPResult:
+    return align_frames(src_pyr, dst_pyr, K, T0, cfg, use_pallas)

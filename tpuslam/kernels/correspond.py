@@ -1,0 +1,205 @@
+"""Correspondence search — the k-d-tree replacement (SURVEY.md §2a R6, §2b N7).
+
+Reference status: per-ICP-iteration nearest-neighbor queries against a CPU
+k-d tree; the designated hot spot ("Replace the CPU k-d tree", BASELINE.json
+north-star; SURVEY.md §2a R6).
+
+TPU design — three tree-free, fully batched strategies:
+
+  * `projective_correspond` — the production path for organized targets
+    (frame-to-frame / frame-to-keyframe): transform source points into the
+    target camera, project, and read the target point/normal at that pixel.
+    O(1) per point, one gather, no search structure at all.
+  * `grid_hash_correspond` — for unorganized targets (voxel maps, keyframe
+    clouds): pack voxel coords into a sortable int32 key, sort the target
+    once, then probe the 27 neighbor cells per query with `searchsorted` +
+    bounded candidate scan.  No pointers, no recursion, static shapes.
+  * `brute_force_correspond` — O(N·M) oracle for tests and small clouds.
+
+All return a `Correspondence(q, n, w)` where `w` is a {0,1} validity weight
+folded into the GN reduction — rejected matches simply weigh zero, keeping
+every shape static (SURVEY.md §7 padding discipline).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from tpuslam.config import Intrinsics
+from tpuslam.geom.backproject import project
+from tpuslam.geom.cloud import PointCloud
+
+
+class Correspondence(NamedTuple):
+    q: jnp.ndarray      # (N, 3) matched target points
+    n: jnp.ndarray      # (N, 3) matched target normals
+    w: jnp.ndarray      # (N,) validity weight in {0, 1}
+
+
+def brute_force_correspond(
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    dst: PointCloud,
+    max_dist: float,
+) -> Correspondence:
+    """Exact NN via a full (N, M) distance matrix. Test oracle; small clouds only."""
+    d2 = jnp.sum((x[:, None, :] - dst.points[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(dst.mask[None, :], d2, jnp.inf)
+    j = jnp.argmin(d2, axis=1)
+    best = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+    q = dst.points[j]
+    n = dst.normals[j]
+    has_normal = jnp.sum(n * n, axis=-1) > 0.5
+    valid = x_mask & (best < max_dist * max_dist) & jnp.isfinite(best) & has_normal
+    return Correspondence(q=q, n=n, w=valid.astype(x.dtype))
+
+
+def projective_correspond(
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    dst_points: jnp.ndarray,
+    dst_normals: jnp.ndarray,
+    dst_mask: jnp.ndarray,
+    K: Intrinsics,
+    max_dist: float,
+    src_normals_in_dst: jnp.ndarray | None = None,
+    normal_dot_min: float = 0.0,
+) -> Correspondence:
+    """Projective data association against an organized target.
+
+    Args:
+      x: (N, 3) source points already transformed into the target camera frame.
+      x_mask: (N,) source validity.
+      dst_points/normals/mask: (H, W, 3)/(H, W, 3)/(H, W) organized target.
+      K: target camera intrinsics (level-scaled for pyramids).
+      max_dist: Euclidean rejection radius.
+      src_normals_in_dst: optional (N, 3) source normals rotated into the
+        target frame for the compatibility gate.
+      normal_dot_min: reject if n_dst · n_src below this cosine.
+    """
+    h, w = dst_mask.shape
+    uv, in_front = project(x, K)
+    ui = jnp.round(uv[..., 0]).astype(jnp.int32)
+    vi = jnp.round(uv[..., 1]).astype(jnp.int32)
+    in_bounds = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    uis = jnp.clip(ui, 0, w - 1)
+    vis = jnp.clip(vi, 0, h - 1)
+    flat = vis * w + uis
+    q = dst_points.reshape(h * w, 3)[flat]
+    n = dst_normals.reshape(h * w, 3)[flat]
+    dmask = dst_mask.reshape(h * w)[flat]
+    has_normal = jnp.sum(n * n, axis=-1) > 0.5
+    d2 = jnp.sum((x - q) ** 2, axis=-1)
+    valid = (
+        x_mask & in_front & in_bounds & dmask & has_normal
+        & (d2 < max_dist * max_dist)
+    )
+    if src_normals_in_dst is not None and normal_dot_min > 0.0:
+        dot = jnp.sum(n * src_normals_in_dst, axis=-1)
+        valid = valid & (dot > normal_dot_min)
+    return Correspondence(q=q, n=n, w=valid.astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Grid-hash NN for unorganized targets (voxel map / keyframe clouds).
+# ---------------------------------------------------------------------------
+
+_GRID_DIMS = 256          # per-axis cells; 8 bits each packs into 24-bit int32
+_INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+def _pack_keys(points: jnp.ndarray, mask: jnp.ndarray, cell: float,
+               origin: jnp.ndarray):
+    """Quantize to a local 256³ grid anchored at `origin`; pack to int32."""
+    c = jnp.floor((points - origin) / cell).astype(jnp.int32)
+    ok = jnp.all((c >= 0) & (c < _GRID_DIMS), axis=-1) & mask
+    c = jnp.clip(c, 0, _GRID_DIMS - 1)
+    key = (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+    return jnp.where(ok, key, _INVALID_KEY), c, ok
+
+
+class GridIndex(NamedTuple):
+    """Sorted-by-cell-key target cloud — the TPU 'hash table'."""
+
+    keys: jnp.ndarray     # (M,) sorted packed cell keys
+    points: jnp.ndarray   # (M, 3) sorted
+    normals: jnp.ndarray  # (M, 3) sorted
+    origin: jnp.ndarray   # (3,) grid anchor
+    cell: jnp.ndarray     # () cell edge length
+
+
+def build_grid_index(dst: PointCloud, cell: float,
+                     origin: jnp.ndarray | None = None) -> GridIndex:
+    """Sort the target cloud by packed voxel key (one `lax.sort`, no scatter)."""
+    if origin is None:
+        # Anchor so the cloud sits inside the 256³ local grid.
+        origin = dst.centroid() - 0.5 * _GRID_DIMS * cell
+    keys, _, _ = _pack_keys(dst.points, dst.mask, cell, origin)
+    skeys, px, py, pz, nx, ny, nz = lax.sort(
+        (
+            keys,
+            dst.points[:, 0], dst.points[:, 1], dst.points[:, 2],
+            dst.normals[:, 0], dst.normals[:, 1], dst.normals[:, 2],
+        ),
+        num_keys=1,
+    )
+    return GridIndex(
+        keys=skeys,
+        points=jnp.stack([px, py, pz], axis=-1),
+        normals=jnp.stack([nx, ny, nz], axis=-1),
+        origin=jnp.asarray(origin),
+        cell=jnp.asarray(cell),
+    )
+
+
+def grid_hash_correspond(
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    index: GridIndex,
+    max_dist: float,
+    candidates_per_cell: int = 16,
+) -> Correspondence:
+    """Approximate NN by probing the 27 neighbor cells of each query.
+
+    Exact within `max_dist` provided the index cell size ≥ max_dist and no
+    cell holds more than `candidates_per_cell` points (otherwise the nearest
+    may be truncated — with voxel-downsampled targets cells hold O(1) points).
+    """
+    kq = candidates_per_cell
+    c = jnp.floor((x - index.origin) / index.cell).astype(jnp.int32)
+    best_d2 = jnp.full(x.shape[:1], jnp.inf, dtype=x.dtype)
+    best_q = jnp.zeros_like(x)
+    best_n = jnp.zeros_like(x)
+    m = index.keys.shape[0]
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                cc = c + jnp.array([dx, dy, dz], dtype=jnp.int32)
+                ok = jnp.all((cc >= 0) & (cc < _GRID_DIMS), axis=-1)
+                key = (cc[..., 0] << 16) | (cc[..., 1] << 8) | cc[..., 2]
+                start = jnp.searchsorted(index.keys, key)
+                idx = start[:, None] + jnp.arange(kq, dtype=start.dtype)[None, :]
+                idx = jnp.clip(idx, 0, m - 1)
+                cand_key = index.keys[idx]
+                cand_ok = (cand_key == key[:, None]) & ok[:, None]
+                cq = index.points[idx]                    # (N, kq, 3)
+                cn = index.normals[idx]
+                d2 = jnp.sum((x[:, None, :] - cq) ** 2, axis=-1)
+                d2 = jnp.where(cand_ok, d2, jnp.inf)
+                jbest = jnp.argmin(d2, axis=1)
+                dbest = jnp.take_along_axis(d2, jbest[:, None], axis=1)[:, 0]
+                qbest = jnp.take_along_axis(cq, jbest[:, None, None], axis=1)[:, 0]
+                nbest = jnp.take_along_axis(cn, jbest[:, None, None], axis=1)[:, 0]
+                better = dbest < best_d2
+                best_d2 = jnp.where(better, dbest, best_d2)
+                best_q = jnp.where(better[:, None], qbest, best_q)
+                best_n = jnp.where(better[:, None], nbest, best_n)
+    has_normal = jnp.sum(best_n * best_n, axis=-1) > 0.5
+    valid = (
+        x_mask & jnp.isfinite(best_d2) & (best_d2 < max_dist * max_dist)
+        & has_normal
+    )
+    return Correspondence(q=best_q, n=best_n, w=valid.astype(x.dtype))
