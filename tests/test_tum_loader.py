@@ -1,0 +1,120 @@
+"""TUM loader + trajectory I/O + ATE tests against an on-disk synthetic
+TUM-format sequence (SURVEY.md §4 fixtures; BASELINE.json configs 2-3)."""
+
+import numpy as np
+import pytest
+
+from tpuslam.config import Intrinsics
+from tpuslam.data.synthetic import write_tum_sequence
+from tpuslam.data.tum import (
+    TumSequence,
+    associate,
+    read_trajectory,
+    write_trajectory,
+)
+from tpuslam.eval.ate import ate_rmse, horn_align, rpe
+
+K = Intrinsics(160.0, 160.0, 79.5, 59.5)
+H, W = 120, 160
+
+
+@pytest.fixture(scope="module")
+def tum_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthetic_tum")
+    poses = write_tum_sequence(str(root), num_frames=6, K=K, height=H, width=W)
+    return str(root), poses
+
+
+def test_sequence_roundtrip(tum_dir):
+    root, poses = tum_dir
+    seq = TumSequence(root)
+    assert len(seq) == 6
+    frame = seq.frame(0)
+    assert frame.depth.shape == (H, W)
+    assert frame.depth.dtype == np.float32
+    # depth quantization error ≤ 1/5000 ≈ 0.2 mm (+ rounding)
+    assert 0.5 < frame.depth[frame.depth > 0].mean() < 5.0
+    assert frame.gt_pose is not None
+    np.testing.assert_allclose(frame.gt_pose, poses[0], atol=1e-5)
+
+
+def test_prefetch_iterator(tum_dir):
+    root, _ = tum_dir
+    seq = TumSequence(root)
+    frames = list(seq.frames())
+    assert len(frames) == 6
+    assert frames[3].timestamp > frames[0].timestamp
+
+
+def test_depth_quantization(tum_dir):
+    root, _ = tum_dir
+    seq = TumSequence(root)
+    from tpuslam.data.synthetic import render_depth
+
+    ref = render_depth(seq.frame(2).gt_pose, K, H, W)
+    got = seq.frame(2).depth
+    valid = ref > 0
+    # PNG quantization (0.5/5000) + pose-text quantization (%.6f quaternion
+    # re-rendered) bound the reconstruction error
+    assert np.abs(got[valid] - ref[valid]).max() < 5e-4
+
+
+def test_associate_greedy():
+    a = [(1.0, []), (2.0, []), (3.0, [])]
+    b = [(1.005, []), (2.5, []), (3.002, [])]
+    m = associate(a, b, max_difference=0.02)
+    assert m == [(0, 0), (2, 2)]
+
+
+def test_trajectory_io(tmp_path, rng):
+    from scipy.spatial.transform import Rotation
+
+    n = 10
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, :3, :3] = Rotation.random(n, rng).as_matrix()
+    poses[:, :3, 3] = rng.normal(size=(n, 3))
+    ts = 100.0 + np.arange(n) / 30.0
+    path = str(tmp_path / "traj.txt")
+    write_trajectory(path, ts, poses)
+    ts2, poses2 = read_trajectory(path)
+    np.testing.assert_allclose(ts2, ts, atol=1e-5)
+    np.testing.assert_allclose(poses2, poses, atol=1e-4)
+
+
+def test_horn_align_exact(rng):
+    from scipy.spatial.transform import Rotation
+
+    R_true = Rotation.random(1, rng).as_matrix()[0]
+    t_true = np.array([0.3, -0.2, 1.0])
+    pts = rng.normal(size=(50, 3))
+    moved = pts @ R_true.T + t_true
+    R, t = horn_align(pts, moved)
+    np.testing.assert_allclose(R, R_true, atol=1e-9)
+    np.testing.assert_allclose(t, t_true, atol=1e-9)
+
+
+def test_ate_zero_for_identical(rng):
+    n = 20
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, :3, 3] = rng.normal(size=(n, 3))
+    ts = np.arange(n) / 30.0
+    m = ate_rmse(ts, poses, ts, poses)
+    assert m["rmse"] < 1e-12
+    r = rpe(ts, poses, ts, poses)
+    assert r["trans_rmse"] < 1e-12
+
+
+def test_ate_invariant_to_global_transform(rng):
+    """ATE after Horn alignment ignores the arbitrary world frame."""
+    from scipy.spatial.transform import Rotation
+
+    n = 20
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, :3, 3] = rng.normal(size=(n, 3))
+    G = np.eye(4)
+    G[:3, :3] = Rotation.random(1, rng).as_matrix()[0]
+    G[:3, 3] = [5.0, -2.0, 1.0]
+    moved = np.einsum("ij,njk->nik", G, poses)
+    ts = np.arange(n) / 30.0
+    m = ate_rmse(ts, moved, ts, poses)
+    assert m["rmse"] < 1e-9

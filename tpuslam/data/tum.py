@@ -1,0 +1,229 @@
+"""TUM RGB-D dataset loader (SURVEY.md §2a R1, §2b N1).
+
+Reference status: C++/OpenCV reader of TUM sequences — `depth.txt` /
+`rgb.txt` / `groundtruth.txt` association lists, 16-bit depth PNGs scaled by
+5000, Freiburg intrinsics (SURVEY.md §2a R1; provenance [B:8-11] + [PK]).
+
+Host-side by design: PNG decode and timestamp association never touch the
+TPU; the loader yields fixed-shape float32 depth arrays ready for device
+upload.  Decode prefers the native C++ extension (csrc/tum_decode.cc) when
+built, falling back to OpenCV then PIL.  A background prefetch thread keeps
+the device fed (SURVEY.md §7 Stage 7: decode must not bottleneck 60 fps).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from tpuslam.config import Intrinsics
+
+try:  # native decoder (csrc/tum_decode.cc), optional
+    from tpuslam.data import _tum_native  # type: ignore
+except Exception:  # pragma: no cover
+    _tum_native = None
+
+
+def _decode_depth_png(path: str, depth_scale: float) -> np.ndarray:
+    """16-bit PNG -> float32 metres."""
+    if _tum_native is not None:
+        raw = _tum_native.decode_png16(path)
+    else:
+        try:
+            import cv2
+
+            raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if raw is None:
+                raise IOError(f"failed to read {path}")
+        except ImportError:  # pragma: no cover
+            from PIL import Image
+
+            raw = np.asarray(Image.open(path))
+    return raw.astype(np.float32) / depth_scale
+
+
+def read_file_list(path: str) -> list[tuple[float, list[str]]]:
+    """Parse a TUM-format list file: `timestamp data...`, '#' comments."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            out.append((float(parts[0]), parts[1:]))
+    return out
+
+
+def associate(
+    a: Sequence[tuple[float, list[str]]],
+    b: Sequence[tuple[float, list[str]]],
+    max_difference: float = 0.02,
+    offset: float = 0.0,
+) -> list[tuple[int, int]]:
+    """Greedy nearest-timestamp association (the standard TUM tool algorithm:
+    sort candidate pairs by |Δt|, take greedily while both sides unused).
+
+    Vectorized: instead of materializing all N·M pairs, only each `a` entry's
+    few nearest `b` neighbors (by searchsorted) are candidates — identical
+    result for physically-sensible streams where max_difference is far below
+    the frame period times neighbor window.
+
+    Uses the native C++ matcher (csrc/tum_decode.cc) when built.
+    """
+    if _tum_native is not None:
+        ta_n = np.array([t for t, _ in a])
+        tb_n = np.array([t + offset for t, _ in b])
+        idx = _tum_native.associate_native(ta_n, tb_n, max_difference)
+        return [(i, int(j)) for i, j in enumerate(idx) if j >= 0]
+    ta = np.array([t for t, _ in a])
+    tb = np.array([t + offset for t, _ in b])
+    order = np.argsort(tb)
+    tb_sorted = tb[order]
+    pos = np.searchsorted(tb_sorted, ta)
+    pairs = []
+    for k in range(-2, 3):
+        j_sorted = np.clip(pos + k, 0, len(tb_sorted) - 1)
+        d = np.abs(ta - tb_sorted[j_sorted])
+        ok = d < max_difference
+        for i in np.nonzero(ok)[0]:
+            pairs.append((float(d[i]), int(i), int(order[j_sorted[i]])))
+    pairs = sorted(set(pairs))
+    used_a: set[int] = set()
+    used_b: set[int] = set()
+    matches = []
+    for _, i, j in pairs:
+        if i not in used_a and j not in used_b:
+            used_a.add(i)
+            used_b.add(j)
+            matches.append((i, j))
+    matches.sort()
+    return matches
+
+
+def intrinsics_for_sequence(name: str) -> Intrinsics:
+    low = name.lower()
+    if "freiburg1" in low or "fr1" in low:
+        return Intrinsics.tum_fr1()
+    if "freiburg2" in low or "fr2" in low:
+        return Intrinsics.tum_fr2()
+    if "freiburg3" in low or "fr3" in low:
+        return Intrinsics.tum_fr3()
+    return Intrinsics.tum_default()
+
+
+class TumFrame(NamedTuple):
+    timestamp: float
+    depth: np.ndarray                # (H, W) float32 metres
+    gt_pose: Optional[np.ndarray]    # (4, 4) float64 world←cam, or None
+
+
+def quaternion_to_matrix(qx, qy, qz, qw) -> np.ndarray:
+    q = np.array([qx, qy, qz, qw], dtype=np.float64)
+    q /= np.linalg.norm(q)
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def matrix_to_quaternion(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> (qx, qy, qz, qw), w >= 0."""
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(R).as_quat()  # x, y, z, w
+    return q if q[3] >= 0 else -q
+
+
+class TumSequence:
+    """A TUM RGB-D sequence directory: depth frames + optional groundtruth."""
+
+    def __init__(self, root: str, max_difference: float = 0.02):
+        self.root = root
+        self.name = os.path.basename(os.path.normpath(root))
+        self.intrinsics = intrinsics_for_sequence(self.name)
+        self.depth_list = read_file_list(os.path.join(root, "depth.txt"))
+        gt_path = os.path.join(root, "groundtruth.txt")
+        self.groundtruth = read_file_list(gt_path) if os.path.exists(gt_path) else None
+        if self.groundtruth:
+            self._gt_matches = dict(
+                associate(self.depth_list, self.groundtruth, max_difference)
+            )
+        else:
+            self._gt_matches = {}
+
+    def __len__(self) -> int:
+        return len(self.depth_list)
+
+    def gt_pose(self, index: int) -> Optional[np.ndarray]:
+        j = self._gt_matches.get(index)
+        if j is None:
+            return None
+        vals = [float(v) for v in self.groundtruth[j][1]]
+        tx, ty, tz, qx, qy, qz, qw = vals[:7]
+        T = np.eye(4)
+        T[:3, :3] = quaternion_to_matrix(qx, qy, qz, qw)
+        T[:3, 3] = [tx, ty, tz]
+        return T
+
+    def frame(self, index: int, depth_scale: float = 5000.0) -> TumFrame:
+        ts, (rel_path, *_) = self.depth_list[index]
+        depth = _decode_depth_png(os.path.join(self.root, rel_path), depth_scale)
+        return TumFrame(timestamp=ts, depth=depth, gt_pose=self.gt_pose(index))
+
+    def frames(self, depth_scale: float = 5000.0, start: int = 0,
+               stop: Optional[int] = None, prefetch: int = 8
+               ) -> Iterator[TumFrame]:
+        """Iterate frames with a background decode/prefetch thread."""
+        stop = len(self) if stop is None else min(stop, len(self))
+        q: "queue.Queue[TumFrame | None]" = queue.Queue(maxsize=prefetch)
+
+        def worker():
+            try:
+                for i in range(start, stop):
+                    q.put(self.frame(i, depth_scale))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+def write_trajectory(path: str, timestamps: Sequence[float],
+                     poses: np.ndarray) -> None:
+    """Write TUM-format trajectory: `t tx ty tz qx qy qz qw` per line."""
+    with open(path, "w") as f:
+        f.write("# timestamp tx ty tz qx qy qz qw\n")
+        for ts, T in zip(timestamps, np.asarray(poses)):
+            t = T[:3, 3]
+            q = matrix_to_quaternion(T[:3, :3])
+            f.write(
+                f"{ts:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+            )
+
+
+def read_trajectory(path: str):
+    """Read TUM-format trajectory -> (timestamps (F,), poses (F, 4, 4))."""
+    rows = read_file_list(path)
+    ts = np.array([r[0] for r in rows])
+    poses = np.zeros((len(rows), 4, 4))
+    for i, (_, vals) in enumerate(rows):
+        tx, ty, tz, qx, qy, qz, qw = [float(v) for v in vals[:7]]
+        poses[i] = np.eye(4)
+        poses[i, :3, :3] = quaternion_to_matrix(qx, qy, qz, qw)
+        poses[i, :3, 3] = [tx, ty, tz]
+    return ts, poses
