@@ -1,0 +1,61 @@
+"""Sequence odometry tests on the synthetic rendered scene.
+
+BASELINE.json config 3 analogue (full-sequence frame-to-keyframe odometry +
+ATE RMSE) — run on the ray-traced fixture instead of TUM fr1/desk since the
+dataset can't be downloaded in CI (SURVEY.md §4).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.config import ICPConfig, Intrinsics, KeyframeConfig, SLAMConfig
+from tpuslam.data.synthetic import orbit_trajectory, render_depth
+from tpuslam.eval.ate import ate_rmse
+from tpuslam.frontend import Odometry, scan_odometry_jit
+
+K = Intrinsics(160.0, 160.0, 79.5, 59.5)
+H, W = 120, 160
+NUM_FRAMES = 12
+
+CFG = SLAMConfig(
+    height=H,
+    width=W,
+    icp=ICPConfig(pyramid_levels=3, iters_per_level=(12, 8, 8),
+                  max_corr_dist=0.25, huber_delta=0.05),
+    keyframe=KeyframeConfig(max_translation=0.10, max_rotation=0.15),
+)
+
+
+def render_sequence(num_frames=NUM_FRAMES, noise=0.0):
+    poses = orbit_trajectory(num_frames)
+    depths = np.stack(
+        [render_depth(poses[i], K, H, W, noise=noise, seed=i)
+         for i in range(num_frames)]
+    )
+    return poses, depths
+
+
+def check_trajectory(gt_poses, est_poses, tol_rmse):
+    ts = np.arange(len(gt_poses)) / 30.0
+    metrics = ate_rmse(ts, est_poses, ts, gt_poses, max_difference=0.005)
+    assert metrics["rmse"] < tol_rmse, metrics
+    return metrics
+
+
+def test_host_odometry_tracks_sequence():
+    gt, depths = render_sequence()
+    odo = Odometry(K, CFG)
+    for i in range(len(depths)):
+        odo.process(depths[i], timestamp=i / 30.0)
+    est = np.stack(odo.trajectory)
+    m = check_trajectory(gt, est, tol_rmse=0.01)
+    assert len(odo.keyframes) >= 1
+    assert all(s.get("lost", False) is False for s in odo.stats[1:])
+
+
+def test_scan_odometry_matches_host():
+    gt, depths = render_sequence()
+    poses, promotes, inliers = scan_odometry_jit(jnp.asarray(depths), K, CFG)
+    est = np.asarray(poses)
+    check_trajectory(gt, est, tol_rmse=0.01)
+    assert np.all(np.asarray(inliers)[1:] > 0.3)

@@ -1,0 +1,215 @@
+"""Pose-graph backend (SURVEY.md §2a R11, §2b N11, call stack §3.3).
+
+Reference status: keyframe nodes + odometry/loop-closure edges, GN/LM over
+relative-pose residuals (SURVEY.md §2a R11; provenance [B:5], [B:11]).
+
+TPU design: fixed-capacity graph (static `max_nodes`/`max_edges`, masked),
+per-edge residual r = log(T_meas⁻¹ · T_i⁻¹ · T_j) with Jacobians from
+`jax.jacfwd` of the local-twist parametrization, **vmapped over all edges at
+once** — no per-edge host loop.  The normal system is assembled as a dense
+(6N, 6N) matrix via batched scatter-add and solved with Cholesky on the MXU:
+at prototype scale (N ≤ a few hundred) dense beats sparse bookkeeping on
+TPU.  Gauge freedom is fixed by a strong prior on node 0.  The whole
+optimization (`gn_iters` Gauss-Newton rounds) is one jitted `fori_loop`.
+
+The distributed variant (keyframe-sharded, psum-reduced) lives in
+tpuslam/backend/distba.py (SURVEY.md §2b N13).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.config import PoseGraphConfig
+from tpuslam.geom import se3
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-capacity pose graph (a pytree; all shapes static)."""
+
+    poses: jnp.ndarray       # (N, 4, 4) node poses (world←node)
+    node_mask: jnp.ndarray   # (N,) bool
+    edge_i: jnp.ndarray      # (E,) int32 source node
+    edge_j: jnp.ndarray      # (E,) int32 target node
+    edge_T: jnp.ndarray      # (E, 4, 4) measured T_i⁻¹·T_j
+    edge_weight: jnp.ndarray  # (E,) float ≥ 0 (0 = unused slot)
+
+    @classmethod
+    def empty(cls, max_nodes: int, max_edges: int) -> "PoseGraph":
+        return cls(
+            poses=jnp.tile(jnp.eye(4), (max_nodes, 1, 1)),
+            node_mask=jnp.zeros((max_nodes,), dtype=bool),
+            edge_i=jnp.zeros((max_edges,), dtype=jnp.int32),
+            edge_j=jnp.zeros((max_edges,), dtype=jnp.int32),
+            edge_T=jnp.tile(jnp.eye(4), (max_edges, 1, 1)),
+            edge_weight=jnp.zeros((max_edges,)),
+        )
+
+
+class GraphHost:
+    """Host-side mutable builder around the fixed-capacity PoseGraph."""
+
+    def __init__(self, cfg: PoseGraphConfig):
+        self.cfg = cfg
+        self.num_nodes = 0
+        self.num_edges = 0
+        self._poses = np.tile(np.eye(4, dtype=np.float32), (cfg.max_nodes, 1, 1))
+        self._edge_i = np.zeros((cfg.max_edges,), dtype=np.int32)
+        self._edge_j = np.zeros((cfg.max_edges,), dtype=np.int32)
+        self._edge_T = np.tile(np.eye(4, dtype=np.float32), (cfg.max_edges, 1, 1))
+        self._edge_w = np.zeros((cfg.max_edges,), dtype=np.float32)
+
+    def add_node(self, T_world: np.ndarray) -> int:
+        if self.num_nodes >= self.cfg.max_nodes:
+            raise RuntimeError("pose graph node capacity exceeded")
+        self._poses[self.num_nodes] = T_world
+        self.num_nodes += 1
+        return self.num_nodes - 1
+
+    def add_edge(self, i: int, j: int, T_ij: np.ndarray,
+                 weight: float = 1.0) -> None:
+        if self.num_edges >= self.cfg.max_edges:
+            raise RuntimeError("pose graph edge capacity exceeded")
+        e = self.num_edges
+        self._edge_i[e] = i
+        self._edge_j[e] = j
+        self._edge_T[e] = T_ij
+        self._edge_w[e] = weight
+        self.num_edges += 1
+
+    def graph(self) -> PoseGraph:
+        mask = np.zeros((self.cfg.max_nodes,), dtype=bool)
+        mask[: self.num_nodes] = True
+        return PoseGraph(
+            poses=jnp.asarray(self._poses),
+            node_mask=jnp.asarray(mask),
+            edge_i=jnp.asarray(self._edge_i),
+            edge_j=jnp.asarray(self._edge_j),
+            edge_T=jnp.asarray(self._edge_T),
+            edge_weight=jnp.asarray(self._edge_w),
+        )
+
+    def set_poses(self, poses: np.ndarray) -> None:
+        self._poses[: self.num_nodes] = poses[: self.num_nodes]
+
+
+def edge_residual(T_i, T_j, T_meas):
+    """r = log(T_meas⁻¹ · T_i⁻¹ · T_j) ∈ R⁶ (zero when consistent)."""
+    return se3.log(se3.inv(T_meas) @ se3.inv(T_i) @ T_j)
+
+
+def _edge_residual_jacobians(T_i, T_j, T_meas):
+    """Residual + Jacobians w.r.t. left-twist updates of nodes i and j."""
+
+    def r_of(delta_i, delta_j):
+        return edge_residual(
+            se3.exp(delta_i) @ T_i, se3.exp(delta_j) @ T_j, T_meas
+        )
+
+    z = jnp.zeros(6, dtype=T_i.dtype)
+    r = r_of(z, z)
+    Ji = jax.jacfwd(r_of, argnums=0)(z, z)   # (6, 6)
+    Jj = jax.jacfwd(r_of, argnums=1)(z, z)   # (6, 6)
+    return r, Ji, Jj
+
+
+def _huber_scale(r_norm_sq: jnp.ndarray, delta: float) -> jnp.ndarray:
+    r_norm = jnp.sqrt(jnp.maximum(r_norm_sq, 1e-18))
+    return jnp.where(r_norm <= delta, 1.0, delta / r_norm)
+
+
+def _info_vector(cfg: PoseGraphConfig) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.full((3,), cfg.trans_weight), jnp.full((3,), cfg.rot_weight)]
+    )
+
+
+def edge_normal_system(poses, edge_i, edge_j, edge_T, edge_weight,
+                       info, huber_delta: float):
+    """Assemble the (6N, 6N) GN normal system contribution of a set of edges.
+
+    Shared by the single-device solver and the edge-sharded distributed one
+    (tpuslam/backend/distba.py) — in the latter each device calls this on its
+    edge shard and the outputs are psum-ed (SURVEY.md §3.3).
+    Returns (H (6N, 6N), b (6N,), cost ()).
+    """
+    N = poses.shape[0]
+    T_i = poses[edge_i]
+    T_j = poses[edge_j]
+    r, Ji, Jj = jax.vmap(_edge_residual_jacobians)(T_i, T_j, edge_T)
+    # per-edge robust weight on the information-weighted residual norm
+    wr2 = jnp.einsum("ek,k,ek->e", r, info, r)
+    w = edge_weight * _huber_scale(wr2, huber_delta)
+    # weighted blocks
+    Wi = Ji * (w[:, None, None] * info[None, :, None])   # Λ·J scaled
+    Wj = Jj * (w[:, None, None] * info[None, :, None])
+    Hii = jnp.einsum("eki,ekj->eij", Wi, Ji)
+    Hjj = jnp.einsum("eki,ekj->eij", Wj, Jj)
+    Hij = jnp.einsum("eki,ekj->eij", Wi, Jj)
+    bi = jnp.einsum("eki,ek->ei", Wi, r)
+    bj = jnp.einsum("eki,ek->ei", Wj, r)
+
+    Hb = jnp.zeros((N, N, 6, 6), dtype=poses.dtype)
+    Hb = Hb.at[edge_i, edge_i].add(Hii)
+    Hb = Hb.at[edge_j, edge_j].add(Hjj)
+    Hb = Hb.at[edge_i, edge_j].add(Hij)
+    Hb = Hb.at[edge_j, edge_i].add(jnp.swapaxes(Hij, -1, -2))
+    b = jnp.zeros((N, 6), dtype=poses.dtype)
+    b = b.at[edge_i].add(bi)
+    b = b.at[edge_j].add(bj)
+
+    H = jnp.transpose(Hb, (0, 2, 1, 3)).reshape(6 * N, 6 * N)
+    return H, b.reshape(6 * N), jnp.sum(w * wr2)
+
+
+def solve_and_update(poses, node_mask, H, b, cfg: PoseGraphConfig):
+    """Apply gauge prior + damping, solve, and left-update all poses."""
+    N = poses.shape[0]
+    diag_scale = jnp.where(node_mask, 1.0, 1e6)
+    prior = jnp.zeros((N,)).at[0].set(1e6) + cfg.damping + 1e-6
+    prior = (prior * diag_scale).repeat(6)
+    H = H + jnp.diag(prior + cfg.damping * jnp.abs(jnp.diagonal(H)))
+    delta = -jnp.linalg.solve(H, b).reshape(N, 6)
+    ok = jnp.all(jnp.isfinite(delta))
+    delta = jnp.where(ok, delta, 0.0)
+    return se3.exp(delta) @ poses
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig,
+                        huber_delta: float = 0.5):
+    """Gauss-Newton over all node poses; returns (poses, final_cost).
+
+    Node 0 is gauge-fixed with a strong prior.  Edge weights scale a
+    diagonal information matrix diag(trans_weight·I₃, rot_weight·I₃); a
+    Huber factor on the whole-edge residual norm robustifies bad loop
+    closures.
+    """
+    info = _info_vector(cfg)
+
+    def gn_round(_, carry):
+        poses, _cost = carry
+        H, b, cost = edge_normal_system(
+            poses, graph.edge_i, graph.edge_j, graph.edge_T,
+            graph.edge_weight, info, huber_delta,
+        )
+        new_poses = solve_and_update(poses, graph.node_mask, H, b, cfg)
+        return (new_poses, cost)
+
+    poses, cost = jax.lax.fori_loop(
+        0, cfg.gn_iters, gn_round, (graph.poses, jnp.inf)
+    )
+    return poses, cost
+
+
+def graph_cost(graph: PoseGraph, cfg: PoseGraphConfig) -> jnp.ndarray:
+    """Unweighted total squared residual (diagnostics)."""
+    T_i = graph.poses[graph.edge_i]
+    T_j = graph.poses[graph.edge_j]
+    r = jax.vmap(edge_residual)(T_i, T_j, graph.edge_T)
+    return jnp.sum(graph.edge_weight * jnp.sum(r * r, axis=-1))

@@ -1,0 +1,221 @@
+"""Odometry / mapping frontend (SURVEY.md §2a R9-R10, §2b N10, §3.1).
+
+Reference status: frame-to-frame and frame-to-keyframe tracking with motion/
+overlap keyframe promotion and an accumulated voxel map (SURVEY.md §2a
+R9-R10; provenance [B:5], [B:9-10]).
+
+TPU design — two drivers over one jitted core:
+
+  * `track_step` — the pure, jittable unit of work: preprocess is done,
+    pyramids in hand; runs coarse-to-fine projective ICP against the current
+    keyframe and computes the keyframe-promotion decision as *flags* (no
+    data-dependent Python control flow).
+  * `Odometry` — host-driven loop for real dataset streams: one
+    `track_step` call per frame; keyframe promotion swaps device arrays on
+    the host side (outside jit, zero recompiles — shapes never change).
+  * `scan_odometry` — whole sequence as a single `lax.scan` on device:
+    keyframe state lives in the scan carry and promotion is a
+    `tree_map(where)` select.  This is the benchmark path (SURVEY.md §3.5)
+    and the flagship jitted program for the compile-check entry point.
+
+Keyframe criterion: relative motion (translation/rotation) beyond threshold
+OR inlier fraction below threshold (overlap loss) — SURVEY.md §2a R9.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.config import Intrinsics, SLAMConfig
+from tpuslam.geom import se3
+from tpuslam.geom.backproject import backproject
+from tpuslam.geom.cloud import PointCloud
+from tpuslam.geom.normals import organized_normals
+from tpuslam.geom.voxel import voxel_downsample
+from tpuslam.icp import Frame, ICPResult, align_frames, build_pyramid
+
+
+def preprocess(depth: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
+    """depth (H, W) → organized pyramid [finest..coarsest] of Frames."""
+    pts, mask = backproject(
+        depth, K, depth_min=cfg.icp.depth_min, depth_max=cfg.icp.depth_max
+    )
+    nrm, nmask = organized_normals(pts, mask)
+    frame = Frame(points=pts, normals=nrm, mask=mask & nmask)
+    return tuple(build_pyramid(frame, cfg.icp.pyramid_levels))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def preprocess_jit(depth, K, cfg: SLAMConfig):
+    return preprocess(depth, K, cfg)
+
+
+class TrackResult(NamedTuple):
+    T_kf_cam: jnp.ndarray      # (4, 4) camera pose in keyframe frame
+    icp: ICPResult
+    promote: jnp.ndarray       # () bool — should current frame become keyframe
+    lost: jnp.ndarray          # () bool — tracking failure
+
+
+def track_step(kf_pyr, cur_pyr, K: Intrinsics, T0: jnp.ndarray,
+               cfg: SLAMConfig) -> TrackResult:
+    """Track current frame against keyframe; decide promotion (pure/jittable)."""
+    res = align_frames(cur_pyr, kf_pyr, K, T0, cfg.icp,
+                       use_pallas=cfg.use_pallas)
+    T = res.T
+    lost = (res.inlier_fraction < 0.1) | ~jnp.all(jnp.isfinite(T))
+    T = jnp.where(lost, T0, T)
+    promote = (
+        (se3.translation_norm(T) > cfg.keyframe.max_translation)
+        | (se3.rotation_angle(T) > cfg.keyframe.max_rotation)
+        | (res.inlier_fraction < cfg.keyframe.min_inlier_fraction)
+    ) & ~lost
+    return TrackResult(T_kf_cam=T, icp=res, promote=promote, lost=lost)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_step_jit(kf_pyr, cur_pyr, K, T0, cfg: SLAMConfig) -> TrackResult:
+    return track_step(kf_pyr, cur_pyr, K, T0, cfg)
+
+
+class KeyframeRecord(NamedTuple):
+    """Host-side record of a promoted keyframe (for the backend)."""
+
+    index: int                  # frame index in the sequence
+    timestamp: float
+    T_world_kf: np.ndarray      # (4, 4)
+    cloud: Optional[PointCloud]  # voxel-downsampled cloud in KF camera frame
+
+
+class Odometry:
+    """Host-driven frame-to-keyframe visual odometry (SURVEY.md §3.1 loop)."""
+
+    def __init__(self, K: Intrinsics, cfg: SLAMConfig,
+                 keep_keyframe_clouds: bool = True):
+        self.K = K
+        self.cfg = cfg
+        self.keep_keyframe_clouds = keep_keyframe_clouds
+        self.T_world_kf = np.eye(4, dtype=np.float32)
+        self.T_kf_cam = jnp.eye(4)
+        self.last_delta = jnp.eye(4)      # constant-velocity model
+        self.kf_pyr = None
+        self.frame_idx = 0
+        self.trajectory: list[np.ndarray] = []
+        self.timestamps: list[float] = []
+        self.keyframes: list[KeyframeRecord] = []
+        self.stats: list[dict] = []
+        # per-frame (keyframe id, T_kf_cam) so the backend can re-anchor the
+        # full trajectory after pose-graph optimization (SURVEY.md §3.1)
+        self.frame_refs: list[tuple[int, np.ndarray]] = []
+
+    def _kf_cloud(self, pyr) -> PointCloud:
+        cloud = pyr[0].as_cloud()
+        return voxel_downsample(
+            cloud, self.cfg.voxel.voxel_size, self.cfg.voxel.capacity,
+            origin=self.cfg.voxel.origin, extent=self.cfg.voxel.extent,
+        )
+
+    def _promote(self, pyr, timestamp: float) -> None:
+        self.kf_pyr = pyr
+        cloud = self._kf_cloud(pyr) if self.keep_keyframe_clouds else None
+        self.keyframes.append(
+            KeyframeRecord(
+                index=self.frame_idx,
+                timestamp=timestamp,
+                T_world_kf=self.T_world_kf.copy(),
+                cloud=cloud,
+            )
+        )
+
+    def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
+        """Feed one depth frame (H, W) metres; returns world←cam pose (4, 4)."""
+        pyr = preprocess_jit(jnp.asarray(depth), self.K, self.cfg)
+        if self.kf_pyr is None:
+            self._promote(pyr, timestamp)
+            T_world_cam = self.T_world_kf
+            self.stats.append({"iters": 0, "rms": 0.0, "inliers": 1.0,
+                               "promoted": True})
+            self.frame_refs.append((len(self.keyframes) - 1, np.eye(4)))
+        else:
+            T0 = self.T_kf_cam @ self.last_delta
+            out = track_step_jit(self.kf_pyr, pyr, self.K, T0, self.cfg)
+            T_rel = np.asarray(out.T_kf_cam)
+            self.last_delta = se3.relative(self.T_kf_cam, out.T_kf_cam)
+            self.T_kf_cam = out.T_kf_cam
+            T_world_cam = (self.T_world_kf @ T_rel).astype(np.float32)
+            promoted = bool(out.promote)
+            if promoted:
+                self.T_world_kf = T_world_cam
+                self.T_kf_cam = jnp.eye(4)
+                self._promote(pyr, timestamp)
+                self.frame_refs.append((len(self.keyframes) - 1, np.eye(4)))
+            else:
+                self.frame_refs.append((len(self.keyframes) - 1, T_rel))
+            self.stats.append(
+                {
+                    "iters": int(out.icp.iters),
+                    "rms": float(out.icp.rms),
+                    "inliers": float(out.icp.inlier_fraction),
+                    "promoted": promoted,
+                    "lost": bool(out.lost),
+                }
+            )
+        self.trajectory.append(np.asarray(T_world_cam, dtype=np.float64))
+        self.timestamps.append(timestamp)
+        self.frame_idx += 1
+        return self.trajectory[-1]
+
+
+class ScanState(NamedTuple):
+    kf_pyr: tuple               # keyframe pyramid (pytree of Frames)
+    T_world_kf: jnp.ndarray
+    T_kf_cam: jnp.ndarray
+    last_delta: jnp.ndarray
+
+
+def scan_odometry(depths: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
+    """Full-sequence odometry as one jitted `lax.scan` over frames.
+
+    Args:
+      depths: (F, H, W) float32 metres (pre-decoded, device-resident).
+    Returns:
+      poses (F, 4, 4) world←cam, promote flags (F,), inlier fractions (F,).
+    """
+
+    def step(state: ScanState, depth):
+        pyr = preprocess(depth, K, cfg)
+        T0 = state.T_kf_cam @ state.last_delta
+        out = track_step(state.kf_pyr, pyr, K, T0, cfg)
+        T_world_cam = state.T_world_kf @ out.T_kf_cam
+        promote = out.promote
+
+        def sel(new, old):
+            return jnp.where(promote, new, old)
+
+        new_state = ScanState(
+            kf_pyr=jax.tree.map(sel, pyr, state.kf_pyr),
+            T_world_kf=sel(T_world_cam, state.T_world_kf),
+            T_kf_cam=sel(jnp.eye(4), out.T_kf_cam),
+            last_delta=se3.relative(state.T_kf_cam, out.T_kf_cam),
+        )
+        return new_state, (T_world_cam, promote, out.icp.inlier_fraction)
+
+    pyr0 = preprocess(depths[0], K, cfg)
+    init = ScanState(
+        kf_pyr=pyr0,
+        T_world_kf=jnp.eye(4),
+        T_kf_cam=jnp.eye(4),
+        last_delta=jnp.eye(4),
+    )
+    _, (poses, promotes, inliers) = jax.lax.scan(step, init, depths)
+    return poses, promotes, inliers
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def scan_odometry_jit(depths, K, cfg: SLAMConfig):
+    return scan_odometry(depths, K, cfg)
