@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Driver benchmark entry point: prints ONE JSON line with the headline
+metric (ICP odometry frames/s/chip on TUM-shaped input; baseline target is
+the BASELINE.json-pinned >=60 fps/chip — the reference publishes no numbers,
+see BASELINE.md)."""
+
+import json
+import sys
+
+
+def main() -> int:
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    from tpuslam.bench.harness import run_bench
+
+    r = run_bench(frames=frames, height=480, width=640)
+    baseline_fps = 60.0  # BASELINE.json:5 target (no published reference numbers)
+    print(
+        json.dumps(
+            {
+                "metric": "icp_odometry_fps_per_chip",
+                "value": round(r["fps_per_chip"], 3),
+                "unit": "frames/s/chip@640x480",
+                "vs_baseline": round(r["fps_per_chip"] / baseline_fps, 3),
+                "detail": {
+                    "ms_per_frame": round(r["ms_per_frame"], 3),
+                    "icp_iter_latency_ms": round(r["icp_iter_latency_ms"], 3),
+                    "device": r["device"],
+                    "frames": r["frames"],
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

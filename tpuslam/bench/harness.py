@@ -1,0 +1,126 @@
+"""Benchmark harness (SURVEY.md §2b N17, §3.5).
+
+Measures the BASELINE.json-pinned metrics:
+  * ICP frames/s/chip — full frame-to-keyframe odometry throughput via the
+    all-on-device `lax.scan` path (decode excluded: the reference metric is
+    ICP throughput, and the host loader is benchmarked separately),
+  * per-ICP-iteration latency,
+  * multi-device scaling efficiency of the point-sharded SPMD ICP.
+
+Depth input is the synthetic ray-traced scene at TUM resolution — identical
+compute shape to a real sequence (the ICP cost is data-independent: static
+shapes, masked reductions).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _render_sequence(frames: int, height: int, width: int):
+    from tpuslam.config import Intrinsics
+    from tpuslam.data.synthetic import orbit_trajectory, render_depth
+
+    K = Intrinsics(
+        525.0 * width / 640.0,
+        525.0 * height / 480.0,
+        width / 2 - 0.5,
+        height / 2 - 0.5,
+    )
+    poses = orbit_trajectory(frames)
+    depths = np.stack(
+        [render_depth(poses[i], K, height, width, seed=i) for i in range(frames)]
+    )
+    return K, poses, depths.astype(np.float32)
+
+
+def run_bench(frames: int = 120, height: int = 480, width: int = 640,
+              config_path: str | None = None, devices: int | None = None,
+              warmup: int = 1) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.config import SLAMConfig
+    from tpuslam.frontend import scan_odometry_jit
+    from tpuslam.icp import align_frames_jit, build_pyramid
+    from tpuslam.frontend import preprocess_jit
+
+    if config_path:
+        with open(config_path) as f:
+            cfg = SLAMConfig.from_json(f.read())
+    else:
+        cfg = SLAMConfig()
+    cfg = cfg.replace(height=height, width=width)
+
+    K, _poses, depths_np = _render_sequence(frames, height, width)
+    depths = jnp.asarray(depths_np)
+    jax.block_until_ready(depths)
+
+    result: dict = {
+        "device": str(jax.devices()[0]),
+        "frames": frames,
+        "resolution": [height, width],
+    }
+
+    # --- full-sequence odometry throughput (the headline number) ---
+    t0 = time.perf_counter()
+    out = scan_odometry_jit(depths, K, cfg)
+    jax.block_until_ready(out)
+    result["compile_plus_first_run_s"] = time.perf_counter() - t0
+    for _ in range(warmup):
+        jax.block_until_ready(scan_odometry_jit(depths, K, cfg))
+    t0 = time.perf_counter()
+    out = scan_odometry_jit(depths, K, cfg)
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+    result["fps_per_chip"] = frames / wall
+    result["ms_per_frame"] = wall / frames * 1e3
+
+    # --- per-ICP-iteration latency (single level, finest resolution) ---
+    pyr_a = preprocess_jit(depths[0], K, cfg)
+    pyr_b = preprocess_jit(depths[1], K, cfg)
+    jax.block_until_ready((pyr_a, pyr_b))
+    import dataclasses
+
+    one_iter_cfg = dataclasses.replace(
+        cfg.icp, pyramid_levels=1, iters_per_level=(1,), tol_delta=0.0
+    )
+    pa1, pb1 = (pyr_a[0],), (pyr_b[0],)
+    T0 = jnp.eye(4)
+    jax.block_until_ready(align_frames_jit(pb1, pa1, K, T0, one_iter_cfg))
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = align_frames_jit(pb1, pa1, K, T0, one_iter_cfg)
+    jax.block_until_ready(r)
+    result["icp_iter_latency_ms"] = (time.perf_counter() - t0) / reps * 1e3
+
+    # --- multi-device scaling (only when >1 device is attached) ---
+    n_dev = len(jax.devices()) if devices is None else devices
+    if n_dev > 1:
+        from tpuslam.dist.mesh import make_mesh
+        from tpuslam.dist.sharded_icp import make_aligned_spmd_fn
+
+        pyr_a_full = tuple(build_pyramid(pyr_a[0], cfg.icp.pyramid_levels))
+        pyr_b_full = tuple(build_pyramid(pyr_b[0], cfg.icp.pyramid_levels))
+        mesh = make_mesh(n_dev)
+        fn = make_aligned_spmd_fn(mesh, cfg.icp)
+        jax.block_until_ready(fn(pyr_b_full, pyr_a_full, K, T0))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(pyr_b_full, pyr_a_full, K, T0)
+        jax.block_until_ready(r)
+        sharded_ms = (time.perf_counter() - t0) / reps * 1e3
+        jax.block_until_ready(align_frames_jit(pyr_b_full, pyr_a_full, K, T0, cfg.icp))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = align_frames_jit(pyr_b_full, pyr_a_full, K, T0, cfg.icp)
+        jax.block_until_ready(r)
+        single_ms = (time.perf_counter() - t0) / reps * 1e3
+        result["spmd_align_ms"] = sharded_ms
+        result["single_align_ms"] = single_ms
+        result["scaling_efficiency"] = single_ms / (sharded_ms * n_dev)
+        result["n_devices"] = n_dev
+    return result

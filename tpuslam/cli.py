@@ -1,0 +1,221 @@
+"""Command-line driver (SURVEY.md §2a R14, §2b N15, §3.1).
+
+Reference status: C++ `main()` — parse args, run pipeline over a TUM
+sequence, report fps + ATE (SURVEY.md §2a R14; provenance [B:2]).
+
+Subcommands:
+  run_odometry  — frame-to-keyframe visual odometry over a sequence
+  run_slam      — odometry + pose graph + loop closure
+  bench         — throughput/latency benchmark (SURVEY.md §3.5)
+  make_synthetic — write a synthetic TUM-format sequence (fixtures/demos)
+  eval          — ATE/RPE of a trajectory file vs groundtruth
+
+Observability (SURVEY.md §5): per-frame JSONL records (pose, ICP iters,
+inlier fraction, residual, ms/frame) via --log-jsonl; summary table with
+fps, ATE RMSE at exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--sequence", required=True, help="TUM sequence directory")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--stop", type=int, default=None)
+    p.add_argument("--config", default=None, help="JSON config file (SLAMConfig)")
+    p.add_argument("--traj-out", default=None, help="write TUM trajectory here")
+    p.add_argument("--log-jsonl", default=None, help="per-frame JSONL metrics")
+    p.add_argument("--resume", default=None, help="checkpoint file to resume from")
+    p.add_argument("--checkpoint", default=None, help="write checkpoints here")
+    p.add_argument("--checkpoint-every", type=int, default=50)
+
+
+def _load_config(path):
+    from tpuslam.config import SLAMConfig
+
+    if path is None:
+        return SLAMConfig()
+    with open(path) as f:
+        return SLAMConfig.from_json(f.read())
+
+
+def _run_pipeline(args, use_slam: bool) -> int:
+    from tpuslam.data.tum import TumSequence, write_trajectory
+    from tpuslam.eval.ate import ate_rmse
+    from tpuslam.frontend import Odometry
+    from tpuslam.slam import SlamSystem
+    from tpuslam.utils.checkpoint import load_checkpoint, save_checkpoint
+    from tpuslam.utils.metrics import JsonlLogger
+
+    cfg = _load_config(args.config)
+    seq = TumSequence(args.sequence)
+    K = seq.intrinsics
+    system = (
+        SlamSystem(K, cfg) if use_slam
+        else Odometry(K, cfg, keep_keyframe_clouds=False)
+    )
+    start = args.start
+    if args.resume:
+        start = load_checkpoint(args.resume, system)
+        print(f"resumed at frame {start}", file=sys.stderr)
+
+    logger = JsonlLogger(args.log_jsonl) if args.log_jsonl else None
+    t_start = time.perf_counter()
+    n_done = 0
+    for frame in seq.frames(depth_scale=cfg.depth_scale, start=start,
+                            stop=args.stop):
+        t0 = time.perf_counter()
+        system.process(frame.depth, frame.timestamp)
+        ms = (time.perf_counter() - t0) * 1e3
+        n_done += 1
+        odo = system.odo if use_slam else system
+        if logger:
+            s = odo.stats[-1]
+            logger.write(
+                frame=odo.frame_idx - 1,
+                timestamp=frame.timestamp,
+                ms=ms,
+                **s,
+            )
+        if args.checkpoint and n_done % args.checkpoint_every == 0:
+            save_checkpoint(args.checkpoint, system, odo.frame_idx)
+    wall = time.perf_counter() - t_start
+
+    odo = system.odo if use_slam else system
+    if use_slam:
+        ts, poses = system.trajectory()
+    else:
+        ts = np.asarray(odo.timestamps)
+        poses = np.stack(odo.trajectory)
+    if args.traj_out:
+        write_trajectory(args.traj_out, ts, poses)
+
+    summary = {
+        "frames": int(len(ts)),
+        "keyframes": len(odo.keyframes),
+        "fps": len(ts) / wall if wall > 0 else 0.0,
+        "wall_s": wall,
+    }
+    if use_slam:
+        summary["loop_closures"] = len(system.closures)
+    if seq.groundtruth:
+        gt_ts, gt_poses = [], []
+        for i in range(len(seq)):
+            T = seq.gt_pose(i)
+            if T is not None:
+                gt_ts.append(seq.depth_list[i][0])
+                gt_poses.append(T)
+        try:
+            m = ate_rmse(ts, poses, np.asarray(gt_ts), np.asarray(gt_poses))
+            summary["ate_rmse_m"] = m["rmse"]
+            summary["ate_pairs"] = m["num_pairs"]
+        except ValueError as e:
+            summary["ate_error"] = str(e)
+    print(json.dumps(summary))
+    if logger:
+        logger.close()
+    return 0
+
+
+def cmd_run_odometry(args) -> int:
+    return _run_pipeline(args, use_slam=False)
+
+
+def cmd_run_slam(args) -> int:
+    return _run_pipeline(args, use_slam=True)
+
+
+def cmd_make_synthetic(args) -> int:
+    from tpuslam.config import Intrinsics
+    from tpuslam.data.synthetic import write_tum_sequence
+
+    K = Intrinsics(args.fx, args.fx, args.width / 2 - 0.5, args.height / 2 - 0.5)
+    write_tum_sequence(args.out, args.frames, K, args.height, args.width,
+                       noise=args.noise)
+    print(json.dumps({"out": args.out, "frames": args.frames}))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from tpuslam.data.tum import read_trajectory
+    from tpuslam.eval.ate import ate_rmse, rpe
+
+    est_ts, est = read_trajectory(args.trajectory)
+    gt_ts, gt = read_trajectory(args.groundtruth)
+    out = {
+        "ate": ate_rmse(est_ts, est, gt_ts, gt),
+        "rpe": rpe(est_ts, est, gt_ts, gt),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from tpuslam.bench.harness import run_bench
+
+    result = run_bench(
+        frames=args.frames, height=args.height, width=args.width,
+        config_path=args.config, devices=args.devices,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpuslam")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run_odometry", help="frame-to-keyframe odometry")
+    _add_common(p)
+    p.set_defaults(fn=cmd_run_odometry)
+
+    p = sub.add_parser("run_slam", help="full SLAM with loop closure")
+    _add_common(p)
+    p.set_defaults(fn=cmd_run_slam)
+
+    p = sub.add_parser("make_synthetic", help="write synthetic TUM sequence")
+    p.add_argument("--out", required=True)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--height", type=int, default=120)
+    p.add_argument("--width", type=int, default=160)
+    p.add_argument("--fx", type=float, default=160.0)
+    p.add_argument("--noise", type=float, default=0.0)
+    p.set_defaults(fn=cmd_make_synthetic)
+
+    p = sub.add_parser("eval", help="evaluate a trajectory file")
+    p.add_argument("--trajectory", required=True)
+    p.add_argument("--groundtruth", required=True)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--config", default=None)
+    p.add_argument("--devices", type=int, default=None)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
+    except json.JSONDecodeError as e:
+        print(f"error: invalid JSON in config/trajectory file: {e}",
+              file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

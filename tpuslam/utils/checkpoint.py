@@ -1,0 +1,144 @@
+"""Checkpoint / resume (SURVEY.md §5 "Checkpoint / resume").
+
+Reference status: none — the reference writes the final trajectory only
+(SURVEY.md §5 [PK]).  Here: an npz snapshot of the full SLAM state
+{keyframe poses + clouds, pose-graph edges, per-frame refs, frame index},
+used by `run_slam --resume`, fault-recovery tests, and long-sequence
+benchmarking.  Plain npz (not orbax) — the state is a few MB of arrays,
+and single-file atomic-rename semantics are all we need.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.frontend import KeyframeRecord, Odometry
+from tpuslam.geom.cloud import PointCloud
+
+_FORMAT_VERSION = 1
+
+
+def _is_slam(system) -> bool:
+    return hasattr(system, "odo")
+
+
+def save_checkpoint(path: str, system, frame_idx: int) -> None:
+    """Snapshot an `Odometry` or `SlamSystem` to an npz (atomic rename)."""
+    odo: Odometry = system.odo if _is_slam(system) else system
+    data: dict = {
+        "version": _FORMAT_VERSION,
+        "frame_idx": frame_idx,
+        "timestamps": np.asarray(odo.timestamps),
+        "trajectory": np.stack(odo.trajectory) if odo.trajectory else np.zeros((0, 4, 4)),
+        "T_world_kf": np.asarray(odo.T_world_kf),
+        "T_kf_cam": np.asarray(odo.T_kf_cam),
+        "last_delta": np.asarray(odo.last_delta),
+        "kf_indices": np.asarray([k.index for k in odo.keyframes]),
+        "kf_timestamps": np.asarray([k.timestamp for k in odo.keyframes]),
+        "kf_poses": np.stack([k.T_world_kf for k in odo.keyframes])
+        if odo.keyframes else np.zeros((0, 4, 4)),
+        "frame_ref_ids": np.asarray([r[0] for r in odo.frame_refs]),
+        "frame_ref_T": np.stack([r[1] for r in odo.frame_refs])
+        if odo.frame_refs else np.zeros((0, 4, 4)),
+    }
+    # keyframe pyramid (device arrays) — needed to keep tracking after resume
+    if odo.kf_pyr is not None:
+        for li, f in enumerate(odo.kf_pyr):
+            data[f"kf_pyr_{li}_points"] = np.asarray(f.points)
+            data[f"kf_pyr_{li}_normals"] = np.asarray(f.normals)
+            data[f"kf_pyr_{li}_mask"] = np.asarray(f.mask)
+        data["kf_pyr_levels"] = len(odo.kf_pyr)
+    # keyframe clouds (for loop closure)
+    clouds = [k.cloud for k in odo.keyframes]
+    if clouds and clouds[0] is not None:
+        data["kf_cloud_points"] = np.stack([np.asarray(c.points) for c in clouds])
+        data["kf_cloud_normals"] = np.stack([np.asarray(c.normals) for c in clouds])
+        data["kf_cloud_mask"] = np.stack([np.asarray(c.mask) for c in clouds])
+    if _is_slam(system):
+        g = system.graph
+        data.update(
+            graph_num_nodes=g.num_nodes,
+            graph_num_edges=g.num_edges,
+            graph_poses=g._poses[: g.num_nodes],
+            graph_edge_i=g._edge_i[: g.num_edges],
+            graph_edge_j=g._edge_j[: g.num_edges],
+            graph_edge_T=g._edge_T[: g.num_edges],
+            graph_edge_w=g._edge_w[: g.num_edges],
+        )
+    # NB: np.savez appends ".npz" unless the name already ends with it, which
+    # would silently break the atomic-rename (verified the hard way) — write
+    # through the open fd instead.
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path: str, system) -> int:
+    """Restore state saved by `save_checkpoint`; returns next frame index."""
+    from tpuslam.icp import Frame
+
+    z = np.load(path, allow_pickle=False)
+    if int(z["version"]) != _FORMAT_VERSION:
+        raise ValueError(f"unknown checkpoint version {z['version']}")
+    odo: Odometry = system.odo if _is_slam(system) else system
+    odo.timestamps = [float(t) for t in z["timestamps"]]
+    odo.trajectory = [T for T in z["trajectory"]]
+    odo.T_world_kf = z["T_world_kf"].astype(np.float32)
+    odo.T_kf_cam = jnp.asarray(z["T_kf_cam"])
+    odo.last_delta = jnp.asarray(z["last_delta"])
+    odo.frame_idx = int(z["frame_idx"])
+    odo.frame_refs = [
+        (int(i), T) for i, T in zip(z["frame_ref_ids"], z["frame_ref_T"])
+    ]
+    if "kf_pyr_levels" in z:
+        odo.kf_pyr = tuple(
+            Frame(
+                points=jnp.asarray(z[f"kf_pyr_{li}_points"]),
+                normals=jnp.asarray(z[f"kf_pyr_{li}_normals"]),
+                mask=jnp.asarray(z[f"kf_pyr_{li}_mask"]),
+            )
+            for li in range(int(z["kf_pyr_levels"]))
+        )
+    has_clouds = "kf_cloud_points" in z
+    odo.keyframes = []
+    for k in range(len(z["kf_indices"])):
+        cloud = None
+        if has_clouds:
+            cloud = PointCloud(
+                points=jnp.asarray(z["kf_cloud_points"][k]),
+                normals=jnp.asarray(z["kf_cloud_normals"][k]),
+                mask=jnp.asarray(z["kf_cloud_mask"][k]),
+            )
+        odo.keyframes.append(
+            KeyframeRecord(
+                index=int(z["kf_indices"][k]),
+                timestamp=float(z["kf_timestamps"][k]),
+                T_world_kf=z["kf_poses"][k].astype(np.float32),
+                cloud=cloud,
+            )
+        )
+    if _is_slam(system) and "graph_num_nodes" in z:
+        g = system.graph
+        g.num_nodes = int(z["graph_num_nodes"])
+        g.num_edges = int(z["graph_num_edges"])
+        g._poses[: g.num_nodes] = z["graph_poses"]
+        g._edge_i[: g.num_edges] = z["graph_edge_i"]
+        g._edge_j[: g.num_edges] = z["graph_edge_j"]
+        g._edge_T[: g.num_edges] = z["graph_edge_T"]
+        g._edge_w[: g.num_edges] = z["graph_edge_w"]
+        system._num_graph_nodes = g.num_nodes
+        system._known_edges = {
+            (int(g._edge_i[e]), int(g._edge_j[e])) for e in range(g.num_edges)
+        }
+    return int(z["frame_idx"])
