@@ -65,15 +65,21 @@ def run_bench(frames: int = 120, height: int = 480, width: int = 640,
     }
 
     # --- full-sequence odometry throughput (the headline number) ---
+    def _force(x):
+        # On the experimental remote-TPU platform block_until_ready can
+        # return before execution completes; a host copy of the last output
+        # is an unambiguous fence.
+        return np.asarray(jax.tree.leaves(x)[0])
+
     t0 = time.perf_counter()
     out = scan_odometry_jit(depths, K, cfg)
-    jax.block_until_ready(out)
+    _force(out)
     result["compile_plus_first_run_s"] = time.perf_counter() - t0
     for _ in range(warmup):
-        jax.block_until_ready(scan_odometry_jit(depths, K, cfg))
+        _force(scan_odometry_jit(depths, K, cfg))
     t0 = time.perf_counter()
     out = scan_odometry_jit(depths, K, cfg)
-    jax.block_until_ready(out)
+    _force(out)
     wall = time.perf_counter() - t0
     result["fps_per_chip"] = frames / wall
     result["ms_per_frame"] = wall / frames * 1e3
@@ -89,12 +95,12 @@ def run_bench(frames: int = 120, height: int = 480, width: int = 640,
     )
     pa1, pb1 = (pyr_a[0],), (pyr_b[0],)
     T0 = jnp.eye(4)
-    jax.block_until_ready(align_frames_jit(pb1, pa1, K, T0, one_iter_cfg))
+    _force(align_frames_jit(pb1, pa1, K, T0, one_iter_cfg))
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         r = align_frames_jit(pb1, pa1, K, T0, one_iter_cfg)
-    jax.block_until_ready(r)
+    _force(r)
     result["icp_iter_latency_ms"] = (time.perf_counter() - t0) / reps * 1e3
 
     # --- multi-device scaling (only when >1 device is attached) ---
@@ -107,17 +113,17 @@ def run_bench(frames: int = 120, height: int = 480, width: int = 640,
         pyr_b_full = tuple(build_pyramid(pyr_b[0], cfg.icp.pyramid_levels))
         mesh = make_mesh(n_dev)
         fn = make_aligned_spmd_fn(mesh, cfg.icp)
-        jax.block_until_ready(fn(pyr_b_full, pyr_a_full, K, T0))
+        _force(fn(pyr_b_full, pyr_a_full, K, T0))
         t0 = time.perf_counter()
         for _ in range(reps):
             r = fn(pyr_b_full, pyr_a_full, K, T0)
-        jax.block_until_ready(r)
+        _force(r)
         sharded_ms = (time.perf_counter() - t0) / reps * 1e3
-        jax.block_until_ready(align_frames_jit(pyr_b_full, pyr_a_full, K, T0, cfg.icp))
+        _force(align_frames_jit(pyr_b_full, pyr_a_full, K, T0, cfg.icp))
         t0 = time.perf_counter()
         for _ in range(reps):
             r = align_frames_jit(pyr_b_full, pyr_a_full, K, T0, cfg.icp)
-        jax.block_until_ready(r)
+        _force(r)
         single_ms = (time.perf_counter() - t0) / reps * 1e3
         result["spmd_align_ms"] = sharded_ms
         result["single_align_ms"] = single_ms

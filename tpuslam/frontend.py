@@ -112,6 +112,7 @@ class Odometry:
         # per-frame (keyframe id, T_kf_cam) so the backend can re-anchor the
         # full trajectory after pose-graph optimization (SURVEY.md §3.1)
         self.frame_refs: list[tuple[int, np.ndarray]] = []
+        self.last_pyr = None  # most recent preprocessed frame (map tracking)
 
     def _kf_cloud(self, pyr) -> PointCloud:
         cloud = pyr[0].as_cloud()
@@ -135,6 +136,7 @@ class Odometry:
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
         """Feed one depth frame (H, W) metres; returns world←cam pose (4, 4)."""
         pyr = preprocess_jit(jnp.asarray(depth), self.K, self.cfg)
+        self.last_pyr = pyr
         if self.kf_pyr is None:
             self._promote(pyr, timestamp)
             T_world_cam = self.T_world_kf

@@ -139,6 +139,25 @@ def align_clouds(src: PointCloud, dst: PointCloud, T0: jnp.ndarray,
 align_clouds_jit = jax.jit(align_clouds, static_argnames=("cfg", "use_grid"))
 
 
+def align_to_index(src: PointCloud, index: GridIndex, T0: jnp.ndarray,
+                   cfg: ICPConfig, use_pallas: bool = False) -> ICPResult:
+    """Align a cloud against a prebuilt grid index (frame-to-map tracking,
+    SURVEY.md §2a R10 / BASELINE config 4: ICP against the voxel map).
+
+    The index is built once per map update (keyframe promotion), not per
+    frame — the per-iteration cost is pure batched probing."""
+
+    def correspond(x, mask, n_rot):
+        return grid_hash_correspond(x, mask, index, cfg.max_corr_dist)
+
+    return _icp_loop(correspond, src, T0, cfg, cfg.max_iters,
+                     use_pallas=use_pallas)
+
+
+align_to_index_jit = jax.jit(align_to_index,
+                             static_argnames=("cfg", "use_pallas"))
+
+
 def _build_index(dst: PointCloud, cfg: ICPConfig) -> GridIndex:
     from tpuslam.kernels.correspond import build_grid_index
 

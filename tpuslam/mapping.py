@@ -61,6 +61,16 @@ class VoxelMap:
         )
         self.num_insertions += 1
 
+    def build_index(self, cell: float):
+        """Grid-hash index over the current map (for frame-to-map ICP).
+
+        Rebuilt per map update, not per frame; anchored at the map centroid
+        so the 256³ local grid (cell·256 span) covers any room-scale map.
+        """
+        from tpuslam.kernels.correspond import build_grid_index
+
+        return build_grid_index(self.cloud, cell=cell)
+
     def size(self) -> int:
         return int(self.cloud.count())
 

@@ -30,15 +30,20 @@ class SlamSystem:
 
     def __init__(self, K: Intrinsics, cfg: SLAMConfig,
                  enable_loop_closure: bool = True,
-                 enable_map: bool = False):
+                 enable_map: bool = False,
+                 track_against_map: bool = False):
         self.cfg = cfg
         self.odo = Odometry(K, cfg, keep_keyframe_clouds=True)
         self.graph = GraphHost(cfg.posegraph)
         self.enable_loop_closure = enable_loop_closure
+        enable_map = enable_map or track_against_map
         self.map: Optional[VoxelMap] = VoxelMap(cfg.voxel) if enable_map else None
+        self.track_against_map = track_against_map
+        self._map_index = None
         self._known_edges: set[tuple[int, int]] = set()
         self._num_graph_nodes = 0
         self.closures: list = []
+        self.map_refine_stats: list[dict] = []
 
     def _sync_graph_with_keyframes(self) -> bool:
         """Add any newly promoted keyframes as nodes + odometry edges."""
@@ -58,7 +63,48 @@ class SlamSystem:
             added = True
             if self.map is not None and rec.cloud is not None:
                 self.map.insert(rec.cloud, rec.T_world_kf)
+                self._map_index = None  # stale — rebuild lazily
         return added
+
+    def _refine_against_map(self) -> None:
+        """Frame-to-map refinement (BASELINE config 4): re-align the current
+        keyframe-relative estimate against the accumulated voxel map."""
+        import jax.numpy as jnp
+
+        from tpuslam.icp import align_to_index_jit
+
+        kf_id, T_rel = self.odo.frame_refs[-1]
+        rec = self.odo.keyframes[kf_id]
+        if self.odo.last_pyr is None or self.map.num_insertions < 2:
+            return
+        if self._map_index is None:
+            self._map_index = self.map.build_index(
+                cell=float(self.cfg.icp.max_corr_dist)
+            )
+        cloud = self.odo._kf_cloud(self.odo.last_pyr)  # current frame, cam frame
+        T0 = jnp.asarray(
+            rec.T_world_kf.astype(np.float32) @ T_rel.astype(np.float32)
+        )
+        res = align_to_index_jit(cloud, self._map_index, T0, self.cfg.icp)
+        ok = (
+            bool(res.converged)
+            and float(res.inlier_fraction) > 0.3
+            and np.all(np.isfinite(np.asarray(res.T)))
+        )
+        self.map_refine_stats.append(
+            {"ok": ok, "rms": float(res.rms),
+             "inliers": float(res.inlier_fraction)}
+        )
+        if not ok:
+            return
+        T_world_cam = np.asarray(res.T, dtype=np.float64)
+        # push the correction into the frontend's keyframe-relative state
+        T_rel_new = (
+            np.linalg.inv(rec.T_world_kf.astype(np.float64)) @ T_world_cam
+        )
+        self.odo.frame_refs[-1] = (kf_id, T_rel_new)
+        self.odo.T_kf_cam = jnp.asarray(T_rel_new.astype(np.float32))
+        self.odo.trajectory[-1] = T_world_cam
 
     def _attempt_loop_closure(self) -> bool:
         kf_poses = [
@@ -92,6 +138,8 @@ class SlamSystem:
         if self._sync_graph_with_keyframes():
             if self.enable_loop_closure and self._attempt_loop_closure():
                 self._optimize()
+        if self.track_against_map:
+            self._refine_against_map()
         kf_id, T_rel = self.odo.frame_refs[-1]
         T = self.odo.keyframes[kf_id].T_world_kf.astype(np.float64) @ T_rel
         return T
