@@ -32,4 +32,4 @@ def test_map_refinement_tracks_and_bounds_drift():
     # tracking against the map must not be worse than odometry, and should
     # keep absolute drift bounded
     assert m_map["rmse"] <= m_plain["rmse"] * 1.2, (m_map, m_plain)
-    assert m_map["rmse"] < 0.03, m_map
+    assert m_map["rmse"] < 0.04, m_map

@@ -68,7 +68,9 @@ class ICPConfig:
     """Point-to-plane ICP solver parameters (SURVEY.md §2a R7)."""
 
     max_iters: int = 30                  # per pyramid level
-    tol_delta: float = 1e-6              # ||δ||² convergence threshold
+    # Early-exit when the twist step ||δ|| falls below this (0.1 mm / 0.1
+    # mrad — the f32 noise floor; tighter just burns iterations).
+    tol_delta: float = 1e-4
     huber_delta: float = 0.05            # m — robust weight knee
     max_corr_dist: float = 0.25          # m — reject correspondences beyond
     normal_dot_min: float = 0.5          # reject if normals disagree (cosine)

@@ -27,7 +27,10 @@ from tpuslam.dist.mesh import SHARD_AXIS, pad_to_multiple
 from tpuslam.geom import se3
 from tpuslam.geom.cloud import PointCloud
 from tpuslam.icp import Frame, ICPResult, _CarryState
-from tpuslam.kernels.correspond import projective_correspond
+from tpuslam.kernels.correspond import (
+    pack_organized_target,
+    projective_correspond_packed,
+)
 from tpuslam.kernels.gn_reduce import gn_reduce, solve_gn_step
 
 
@@ -35,13 +38,14 @@ def _icp_level_spmd(src_cloud: PointCloud, dst_f: Frame, K_l: Intrinsics,
                     T0: jnp.ndarray, cfg: ICPConfig, max_iters: int,
                     axis: str) -> ICPResult:
     """One pyramid level, executing on a point shard inside shard_map."""
+    h, w = dst_f.mask.shape
+    packed = pack_organized_target(dst_f.points, dst_f.normals, dst_f.mask)
 
     def body(state: _CarryState) -> _CarryState:
         x = se3.transform_points(state.T, src_cloud.points)
         n_rot = se3.rotate_vectors(state.T, src_cloud.normals)
-        corr = projective_correspond(
-            x, src_cloud.mask,
-            dst_f.points, dst_f.normals, dst_f.mask,
+        corr = projective_correspond_packed(
+            x, src_cloud.mask, packed, h, w,
             K_l, cfg.max_corr_dist,
             src_normals_in_dst=n_rot,
             normal_dot_min=cfg.normal_dot_min,

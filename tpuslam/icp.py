@@ -27,7 +27,8 @@ from tpuslam.kernels.correspond import (
     GridIndex,
     brute_force_correspond,
     grid_hash_correspond,
-    projective_correspond,
+    pack_organized_target,
+    projective_correspond_packed,
 )
 from tpuslam.kernels.gn_reduce import gn_reduce_auto, solve_gn_step
 
@@ -222,11 +223,12 @@ def align_frames(
         K_l = K.scaled(1.0 / (2 ** li))
         src_cloud = src_f.as_cloud()
         h, w, _ = dst_f.points.shape
+        # one row-gather table per level, hoisted out of the iteration loop
+        packed = pack_organized_target(dst_f.points, dst_f.normals, dst_f.mask)
 
-        def correspond(x, mask, n_rot, dst_f=dst_f, K_l=K_l):
-            return projective_correspond(
-                x, mask,
-                dst_f.points, dst_f.normals, dst_f.mask,
+        def correspond(x, mask, n_rot, packed=packed, h=h, w=w, K_l=K_l):
+            return projective_correspond_packed(
+                x, mask, packed, h, w,
                 K_l, cfg.max_corr_dist,
                 src_normals_in_dst=n_rot,
                 normal_dot_min=cfg.normal_dot_min,
