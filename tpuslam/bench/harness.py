@@ -84,24 +84,28 @@ def run_bench(frames: int = 120, height: int = 480, width: int = 640,
     result["fps_per_chip"] = frames / wall
     result["ms_per_frame"] = wall / frames * 1e3
 
-    # --- per-ICP-iteration latency (single level, finest resolution) ---
+    # --- per-ICP-iteration latency: run a fixed 50-iteration finest-level
+    # alignment in ONE dispatch so the remote-dispatch overhead amortizes ---
     pyr_a = preprocess_jit(depths[0], K, cfg)
     pyr_b = preprocess_jit(depths[1], K, cfg)
-    jax.block_until_ready((pyr_a, pyr_b))
     import dataclasses
 
-    one_iter_cfg = dataclasses.replace(
-        cfg.icp, pyramid_levels=1, iters_per_level=(1,), tol_delta=0.0
+    iter_loops = 50
+    one_level_cfg = dataclasses.replace(
+        cfg.icp, pyramid_levels=1, iters_per_level=(iter_loops,),
+        tol_delta=0.0,
     )
     pa1, pb1 = (pyr_a[0],), (pyr_b[0],)
     T0 = jnp.eye(4)
-    _force(align_frames_jit(pb1, pa1, K, T0, one_iter_cfg))
-    reps = 20
+    _force(align_frames_jit(pb1, pa1, K, T0, one_level_cfg))
+    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        r = align_frames_jit(pb1, pa1, K, T0, one_iter_cfg)
+        r = align_frames_jit(pb1, pa1, K, T0, one_level_cfg)
     _force(r)
-    result["icp_iter_latency_ms"] = (time.perf_counter() - t0) / reps * 1e3
+    result["icp_iter_latency_ms"] = (
+        (time.perf_counter() - t0) / reps / iter_loops * 1e3
+    )
 
     # --- multi-device scaling (only when >1 device is attached) ---
     n_dev = len(jax.devices()) if devices is None else devices
