@@ -35,6 +35,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", default=None, help="checkpoint file to resume from")
     p.add_argument("--checkpoint", default=None, help="write checkpoints here")
     p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--viz-dir", default=None,
+                   help="write trajectory/map PNG artifacts here")
+    p.add_argument("--track-against-map", action="store_true",
+                   help="refine every frame against the voxel map")
+    p.add_argument("--progress", action="store_true",
+                   help="print a live per-frame status line to stderr")
 
 
 def _load_config(path):
@@ -58,7 +64,9 @@ def _run_pipeline(args, use_slam: bool) -> int:
     seq = TumSequence(args.sequence)
     K = seq.intrinsics
     system = (
-        SlamSystem(K, cfg) if use_slam
+        SlamSystem(K, cfg,
+                   track_against_map=getattr(args, "track_against_map", False))
+        if use_slam
         else Odometry(K, cfg, keep_keyframe_clouds=False)
     )
     start = args.start
@@ -86,6 +94,15 @@ def _run_pipeline(args, use_slam: bool) -> int:
             )
         if args.checkpoint and n_done % args.checkpoint_every == 0:
             save_checkpoint(args.checkpoint, system, odo.frame_idx)
+        if getattr(args, "progress", False):
+            s = odo.stats[-1]
+            print(
+                f"\rframe {odo.frame_idx - 1}  {ms:6.1f} ms  "
+                f"inl {s.get('inliers', 0):.2f}  kf {len(odo.keyframes)}",
+                end="", file=sys.stderr,
+            )
+    if getattr(args, "progress", False):
+        print(file=sys.stderr)
     wall = time.perf_counter() - t_start
 
     odo = system.odo if use_slam else system
@@ -118,6 +135,15 @@ def _run_pipeline(args, use_slam: bool) -> int:
             summary["ate_pairs"] = m["num_pairs"]
         except ValueError as e:
             summary["ate_error"] = str(e)
+    if getattr(args, "viz_dir", None):
+        from tpuslam.viz import write_run_report
+
+        gt_for_viz = None
+        if seq.groundtruth:
+            gt_for_viz = [T for T in (seq.gt_pose(i) for i in range(len(seq)))
+                          if T is not None]
+        summary["viz_files"] = write_run_report(args.viz_dir, system,
+                                                gt_for_viz)
     print(json.dumps(summary))
     if logger:
         logger.close()
