@@ -36,6 +36,33 @@ def _render_sequence(frames: int, height: int, width: int):
     return K, poses, depths.astype(np.float32)
 
 
+def bench_loader(height: int, width: int, frames: int = 40) -> dict:
+    """Decode throughput of the host TUM pipeline (SURVEY.md §7 Stage 7:
+    the loader must not bottleneck the device at 60+ fps)."""
+    import tempfile
+
+    from tpuslam.config import Intrinsics
+    from tpuslam.data.synthetic import write_tum_sequence
+    from tpuslam.data.tum import TumSequence, _tum_native
+
+    with tempfile.TemporaryDirectory() as root:
+        K = Intrinsics(525.0, 525.0, width / 2 - 0.5, height / 2 - 0.5)
+        write_tum_sequence(root, frames, K, height, width)
+        seq = TumSequence(root)
+        # warm the page cache
+        for f in seq.frames():
+            pass
+        t0 = time.perf_counter()
+        n = 0
+        for f in seq.frames():
+            n += 1
+        wall = time.perf_counter() - t0
+    return {
+        "decode_fps": n / wall,
+        "native": _tum_native is not None,
+    }
+
+
 def run_bench(frames: int = 120, height: int = 480, width: int = 640,
               config_path: str | None = None, devices: int | None = None,
               warmup: int = 1) -> dict:
@@ -106,6 +133,9 @@ def run_bench(frames: int = 120, height: int = 480, width: int = 640,
     result["icp_iter_latency_ms"] = (
         (time.perf_counter() - t0) / reps / iter_loops * 1e3
     )
+
+    # --- host loader throughput (PNG decode must outrun the tracker) ---
+    result["loader"] = bench_loader(height=height, width=width, frames=40)
 
     # --- multi-device scaling (only when >1 device is attached) ---
     n_dev = len(jax.devices()) if devices is None else devices

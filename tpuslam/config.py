@@ -143,6 +143,13 @@ class SLAMConfig:
     height: int = 480
     width: int = 640
     depth_scale: float = 5000.0          # TUM 16-bit PNG scale (SURVEY §2a R1)
+    # Constant-velocity warm-start damping γ ∈ [0,1]: T0 extrapolates only
+    # γ·(last inter-frame twist).  Full extrapolation (γ=1) is UNSTABLE with
+    # nearest-pixel association: its sub-pixel deadband lets ICP confirm the
+    # extrapolated pose instead of correcting it, and the velocity estimate
+    # then amplifies its own error exponentially (diagnosed on the synthetic
+    # loop: γ=1 diverges to metres, γ≤0.5 tracks exactly).
+    cv_damping: float = 0.5
     use_pallas: bool = True              # Pallas kernels vs pure-jnp oracle
     dtype: str = "float32"
 

@@ -40,6 +40,16 @@ from tpuslam.geom.voxel import voxel_downsample
 from tpuslam.icp import Frame, ICPResult, align_frames, build_pyramid
 
 
+def damped_velocity(delta: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """Scale an inter-frame motion twist for the warm start (see
+    SLAMConfig.cv_damping for why γ < 1 is required for stability)."""
+    if gamma == 0.0:
+        return jnp.eye(4, dtype=delta.dtype)
+    if gamma == 1.0:
+        return delta
+    return se3.exp(gamma * se3.log(delta))
+
+
 def preprocess(depth: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
     """depth (H, W) → organized pyramid [finest..coarsest] of Frames."""
     pts, mask = backproject(
@@ -144,7 +154,8 @@ class Odometry:
                                "promoted": True})
             self.frame_refs.append((len(self.keyframes) - 1, np.eye(4)))
         else:
-            T0 = self.T_kf_cam @ self.last_delta
+            T0 = self.T_kf_cam @ damped_velocity(self.last_delta,
+                                                 self.cfg.cv_damping)
             out = track_step_jit(self.kf_pyr, pyr, self.K, T0, self.cfg)
             T_rel = np.asarray(out.T_kf_cam)
             self.last_delta = se3.relative(self.T_kf_cam, out.T_kf_cam)
@@ -191,7 +202,8 @@ def scan_odometry(depths: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
 
     def step(state: ScanState, depth):
         pyr = preprocess(depth, K, cfg)
-        T0 = state.T_kf_cam @ state.last_delta
+        T0 = state.T_kf_cam @ damped_velocity(state.last_delta,
+                                              cfg.cv_damping)
         out = track_step(state.kf_pyr, pyr, K, T0, cfg)
         T_world_cam = state.T_world_kf @ out.T_kf_cam
         promote = out.promote
