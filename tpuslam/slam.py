@@ -14,6 +14,8 @@ re-anchors every frame on its (optimized) keyframe pose.
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Optional
 
 import numpy as np
@@ -31,7 +33,8 @@ class SlamSystem:
     def __init__(self, K: Intrinsics, cfg: SLAMConfig,
                  enable_loop_closure: bool = True,
                  enable_map: bool = False,
-                 track_against_map: bool = False):
+                 track_against_map: bool = False,
+                 async_backend: bool = False):
         self.cfg = cfg
         self.odo = Odometry(K, cfg, keep_keyframe_clouds=True)
         self.graph = GraphHost(cfg.posegraph)
@@ -44,6 +47,45 @@ class SlamSystem:
         self._num_graph_nodes = 0
         self.closures: list = []
         self.map_refine_stats: list[dict] = []
+        # PP analogue (SURVEY.md §2c "PP" row): the backend (loop-closure
+        # verification + pose-graph GN) runs in a worker thread overlapped
+        # with frontend tracking; corrected keyframe poses are applied at
+        # the next frame boundary under a lock.
+        self.async_backend = async_backend
+        self._lock = threading.Lock()
+        self._backend_queue: "queue.Queue[int]" = queue.Queue()
+        self._backend_thread: Optional[threading.Thread] = None
+        self._backend_error: Optional[BaseException] = None
+        if async_backend:
+            self._backend_thread = threading.Thread(
+                target=self._backend_worker, daemon=True
+            )
+            self._backend_thread.start()
+
+    def _backend_worker(self) -> None:
+        while True:
+            item = self._backend_queue.get()
+            if item is None:
+                return
+            try:
+                if self.enable_loop_closure and self._attempt_loop_closure():
+                    with self._lock:
+                        self._optimize()
+            except BaseException as e:  # surfaced on finalize()
+                self._backend_error = e
+
+    def finalize(self) -> None:
+        """Drain the async backend and run a final global optimization."""
+        if self._backend_thread is not None:
+            self._backend_queue.put(None)
+            self._backend_thread.join(timeout=120)
+            self._backend_thread = None
+            if self._backend_error is not None:
+                raise self._backend_error
+        if self.enable_loop_closure:
+            self._attempt_loop_closure()
+        if self.graph.num_edges > 0:
+            self._optimize()
 
     def _sync_graph_with_keyframes(self) -> bool:
         """Add any newly promoted keyframes as nodes + odometry edges."""
@@ -107,18 +149,26 @@ class SlamSystem:
         self.odo.trajectory[-1] = T_world_cam
 
     def _attempt_loop_closure(self) -> bool:
-        kf_poses = [
-            self.graph._poses[k].astype(np.float64)
-            for k in range(self._num_graph_nodes)
-        ]
+        # snapshot under the lock (async backend runs concurrently with
+        # tracking); the expensive ICP verification runs outside it
+        with self._lock:
+            n = self._num_graph_nodes
+            kf_poses = [
+                self.graph._poses[k].astype(np.float64) for k in range(n)
+            ]
+            keyframes = list(self.odo.keyframes[:n])
+            known = set(self._known_edges)
         closures = find_closures(
-            self.odo.keyframes, kf_poses, self.cfg.icp, self.cfg.posegraph,
-            exclude_pairs=self._known_edges,
+            keyframes, kf_poses, self.cfg.icp, self.cfg.posegraph,
+            exclude_pairs=known,
         )
-        for c in closures:
-            self.graph.add_edge(c.i, c.j, c.T_ij, weight=2.0)
-            self._known_edges.add((c.i, c.j))
-            self.closures.append(c)
+        with self._lock:
+            for c in closures:
+                if (c.i, c.j) in self._known_edges:
+                    continue
+                self.graph.add_edge(c.i, c.j, c.T_ij, weight=2.0)
+                self._known_edges.add((c.i, c.j))
+                self.closures.append(c)
         return bool(closures)
 
     def _optimize(self) -> None:
@@ -134,12 +184,17 @@ class SlamSystem:
             self.odo.keyframes[idx] = rec._replace(T_world_kf=poses[idx])
 
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
-        self.odo.process(depth, timestamp)
-        if self._sync_graph_with_keyframes():
-            if self.enable_loop_closure and self._attempt_loop_closure():
+        with self._lock:
+            self.odo.process(depth, timestamp)
+            new_kf = self._sync_graph_with_keyframes()
+        if new_kf:
+            if self.async_backend:
+                self._backend_queue.put(self._num_graph_nodes)
+            elif self.enable_loop_closure and self._attempt_loop_closure():
                 self._optimize()
         if self.track_against_map:
-            self._refine_against_map()
+            with self._lock:
+                self._refine_against_map()
         kf_id, T_rel = self.odo.frame_refs[-1]
         T = self.odo.keyframes[kf_id].T_world_kf.astype(np.float64) @ T_rel
         return T
