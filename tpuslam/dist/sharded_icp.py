@@ -39,7 +39,11 @@ def _icp_level_spmd(src_cloud: PointCloud, dst_f: Frame, K_l: Intrinsics,
                     axis: str) -> ICPResult:
     """One pyramid level, executing on a point shard inside shard_map."""
     h, w = dst_f.mask.shape
-    packed = pack_organized_target(dst_f.points, dst_f.normals, dst_f.mask)
+    packed = pack_organized_target(
+        dst_f.points, dst_f.normals, dst_f.mask,
+        dtype=jnp.dtype(getattr(cfg, "packed_dtype", "float32")),
+    )
+    inner = max(1, int(getattr(cfg, "inner_steps", 1)))
 
     def body(state: _CarryState) -> _CarryState:
         x = se3.transform_points(state.T, src_cloud.points)
@@ -50,19 +54,24 @@ def _icp_level_spmd(src_cloud: PointCloud, dst_f: Frame, K_l: Intrinsics,
             src_normals_in_dst=n_rot,
             normal_dot_min=cfg.normal_dot_min,
         )
-        stats = gn_reduce(x, corr.q, corr.n, corr.w, src_cloud.mask,
-                          cfg.huber_delta)
-        # THE collective: partial normal equations → global (SURVEY §2c TP).
-        H = lax.psum(stats.H, axis)
-        b = lax.psum(stats.b, axis)
+        T_new = state.T
+        for k in range(inner):
+            if k > 0:
+                x = se3.transform_points(T_new, src_cloud.points)
+            stats = gn_reduce(x, corr.q, corr.n, corr.w, src_cloud.mask,
+                              cfg.huber_delta)
+            # THE collective: partial normal equations → global (§2c TP).
+            H = lax.psum(stats.H, axis)
+            b = lax.psum(stats.b, axis)
+            delta = solve_gn_step(H, b, cfg.damping, cfg.damping_abs,
+                                  cfg.max_trans_step, cfg.max_rot_step)
+            T_new = se3.exp(delta) @ T_new
         inl = lax.psum(stats.num_inliers, axis)
         sq = lax.psum(stats.weighted_sq_sum, axis)
         nv = lax.psum(stats.num_valid_src, axis)
-        delta = solve_gn_step(H, b, cfg.damping, cfg.damping_abs,
-                              cfg.max_trans_step, cfg.max_rot_step)
         return _CarryState(
-            T=se3.exp(delta) @ state.T,
-            it=state.it + 1,
+            T=T_new,
+            it=state.it + inner,
             delta_sq=jnp.sum(delta * delta),
             rms=jnp.sqrt(sq / jnp.maximum(inl, 1.0)),
             inlier_fraction=inl / jnp.maximum(nv, 1.0),
@@ -134,7 +143,7 @@ def align_frames_spmd(src_pyr, dst_pyr, K: Intrinsics, T0: jnp.ndarray,
                 converged=P(), H=P(),
             ),
             )
-        result = level_fn(cloud, dst_f, K, T)
+        result = level_fn(cloud, dst_f, K_l, T)
         T = result.T
     return result
 

@@ -73,20 +73,30 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
     transform estimate and returns a `Correspondence`.
     """
     pallas_on = _use_pallas_now(use_pallas)
+    inner = max(1, int(getattr(cfg, "inner_steps", 1)))
 
     def body(state: _CarryState) -> _CarryState:
+        # One correspondence gather per outer iteration (the dominant cost),
+        # then `inner` GN solves against the same association with the
+        # source re-transformed between solves (inner/outer ICP): the IRLS
+        # Huber reweighting still sees fresh residuals each inner step.
         x = se3.transform_points(state.T, src.points)
         n_rot = se3.rotate_vectors(state.T, src.normals)
         corr = correspond_fn(x, src.mask, n_rot)
-        stats = gn_reduce_auto(x, corr.q, corr.n, corr.w, src.mask,
-                               cfg.huber_delta, use_pallas=pallas_on)
-        delta = solve_gn_step(stats.H, stats.b, cfg.damping, cfg.damping_abs,
-                              cfg.max_trans_step, cfg.max_rot_step)
-        T_new = se3.exp(delta) @ state.T
+        T_new = state.T
+        for k in range(inner):
+            if k > 0:
+                x = se3.transform_points(T_new, src.points)
+            stats = gn_reduce_auto(x, corr.q, corr.n, corr.w, src.mask,
+                                   cfg.huber_delta, use_pallas=pallas_on)
+            delta = solve_gn_step(stats.H, stats.b, cfg.damping,
+                                  cfg.damping_abs,
+                                  cfg.max_trans_step, cfg.max_rot_step)
+            T_new = se3.exp(delta) @ T_new
         inl = jnp.maximum(stats.num_inliers, 1.0)
         return _CarryState(
             T=T_new,
-            it=state.it + 1,
+            it=state.it + inner,
             delta_sq=jnp.sum(delta * delta),
             rms=jnp.sqrt(stats.weighted_sq_sum / inl),
             inlier_fraction=stats.num_inliers / jnp.maximum(stats.num_valid_src, 1.0),
@@ -224,7 +234,10 @@ def align_frames(
         src_cloud = src_f.as_cloud()
         h, w, _ = dst_f.points.shape
         # one row-gather table per level, hoisted out of the iteration loop
-        packed = pack_organized_target(dst_f.points, dst_f.normals, dst_f.mask)
+        packed = pack_organized_target(
+            dst_f.points, dst_f.normals, dst_f.mask,
+            dtype=jnp.dtype(getattr(cfg, "packed_dtype", "float32")),
+        )
 
         def correspond(x, mask, n_rot, packed=packed, h=h, w=w, K_l=K_l):
             return projective_correspond_packed(
