@@ -85,3 +85,23 @@ def test_voxel_map_accumulates(loop_sequence):
     pts = slam.map.points()
     # map points live inside the room AABB
     assert np.all(np.abs(pts) < 5.0)
+
+
+def test_slam_with_map_ba(loop_sequence):
+    """Final Schur-complement map BA runs and does not degrade the
+    trajectory (SURVEY.md §2b N13 integration path)."""
+    gt, depths = loop_sequence
+    slam = SlamSystem(K, CFG, enable_loop_closure=True, map_ba=True)
+    for i in range(len(depths)):
+        slam.process(depths[i], timestamp=i / 30.0)
+    ts, est_before = slam.trajectory()
+    m_before = ate_rmse(ts, est_before, np.arange(len(gt)) / 30.0, gt,
+                        max_difference=0.005)
+    slam.finalize()
+    assert slam.map_ba_stats is not None, "map BA did not run"
+    assert slam.map_ba_stats["num_obs"] > 100
+    ts, est = slam.trajectory()
+    m = ate_rmse(ts, est, np.arange(len(gt)) / 30.0, gt, max_difference=0.005)
+    assert np.all(np.isfinite(est))
+    # BA must not blow up the trajectory; equal-or-better within noise
+    assert m["rmse"] < max(1.5 * m_before["rmse"], 0.02), (m, m_before)

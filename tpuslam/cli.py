@@ -39,6 +39,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="write trajectory/map PNG artifacts here")
     p.add_argument("--track-against-map", action="store_true",
                    help="refine every frame against the voxel map")
+    p.add_argument("--map-ba", action="store_true",
+                   help="final Schur-complement map bundle adjustment over "
+                        "all keyframes (backend/map_ba.py)")
     p.add_argument("--progress", action="store_true",
                    help="print a live per-frame status line to stderr")
 
@@ -65,7 +68,8 @@ def _run_pipeline(args, use_slam: bool) -> int:
     K = seq.intrinsics
     system = (
         SlamSystem(K, cfg,
-                   track_against_map=getattr(args, "track_against_map", False))
+                   track_against_map=getattr(args, "track_against_map", False),
+                   map_ba=getattr(args, "map_ba", False))
         if use_slam
         else Odometry(K, cfg, keep_keyframe_clouds=False)
     )
@@ -107,6 +111,9 @@ def _run_pipeline(args, use_slam: bool) -> int:
 
     odo = system.odo if use_slam else system
     if use_slam:
+        # drain the async backend, run the final loop-closure pass + global
+        # optimization (+ map BA when enabled) BEFORE dumping the trajectory
+        system.finalize()
         ts, poses = system.trajectory()
     else:
         ts = np.asarray(odo.timestamps)
@@ -122,6 +129,8 @@ def _run_pipeline(args, use_slam: bool) -> int:
     }
     if use_slam:
         summary["loop_closures"] = len(system.closures)
+        if system.map_ba_stats is not None:
+            summary["map_ba"] = system.map_ba_stats
     if seq.groundtruth:
         gt_ts, gt_poses = [], []
         for i in range(len(seq)):

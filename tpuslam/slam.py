@@ -34,12 +34,15 @@ class SlamSystem:
                  enable_loop_closure: bool = True,
                  enable_map: bool = False,
                  track_against_map: bool = False,
-                 async_backend: bool = False):
+                 async_backend: bool = False,
+                 map_ba: bool = False):
         self.cfg = cfg
         self.odo = Odometry(K, cfg, keep_keyframe_clouds=True)
         self.graph = GraphHost(cfg.posegraph)
         self.enable_loop_closure = enable_loop_closure
-        enable_map = enable_map or track_against_map
+        self.map_ba = map_ba
+        self.map_ba_stats: Optional[dict] = None
+        enable_map = enable_map or track_against_map or map_ba
         self.map: Optional[VoxelMap] = VoxelMap(cfg.voxel) if enable_map else None
         self.track_against_map = track_against_map
         self._map_index = None
@@ -86,6 +89,8 @@ class SlamSystem:
             self._attempt_loop_closure()
         if self.graph.num_edges > 0:
             self._optimize()
+        if self.map_ba:
+            self.refine_map_ba()
 
     def _sync_graph_with_keyframes(self) -> bool:
         """Add any newly promoted keyframes as nodes + odometry edges."""
@@ -182,6 +187,64 @@ class SlamSystem:
         for idx in range(self._num_graph_nodes):
             rec = self.odo.keyframes[idx]
             self.odo.keyframes[idx] = rec._replace(T_world_kf=poses[idx])
+
+    def refine_map_ba(self, max_control: int = 4096,
+                      points_per_kf: int = 512) -> bool:
+        """Global Schur-complement map BA over all keyframes (SURVEY §2b N13).
+
+        Re-voxelizes the live map into ≤ `max_control` control points,
+        associates a subsample of every keyframe cloud against them, and
+        jointly refines keyframe poses + control-point normal offsets
+        (tpuslam/backend/map_ba.py).  Corrected poses are written back into
+        the graph and keyframe records; the dense map itself is left as the
+        running fusion (it is a derived product of the keyframe poses).
+        """
+        import jax.numpy as jnp
+
+        from tpuslam.backend.map_ba import (
+            build_map_ba_problem, optimize_map_ba)
+        from tpuslam.geom.voxel import voxel_downsample
+
+        n = self._num_graph_nodes
+        if self.map is None or n < 2 or self.map.num_insertions < 2:
+            return False
+        ctrl = voxel_downsample(
+            self.map.cloud, 2.0 * self.cfg.voxel.map_voxel_size, max_control,
+            origin=self.cfg.voxel.origin, extent=self.cfg.voxel.extent,
+        )
+        kf_points, kf_mask, kf_poses = [], [], []
+        for rec in self.odo.keyframes[:n]:
+            if rec.cloud is None:
+                return False
+            stride = max(1, rec.cloud.points.shape[0] // points_per_kf)
+            kf_points.append(rec.cloud.points[::stride][:points_per_kf])
+            kf_mask.append(rec.cloud.mask[::stride][:points_per_kf])
+            kf_poses.append(rec.T_world_kf.astype(np.float32))
+        prob = build_map_ba_problem(
+            jnp.asarray(np.stack(kf_poses)),
+            jnp.stack(kf_points), jnp.stack(kf_mask),
+            ctrl.points, ctrl.normals, ctrl.mask,
+            max_dist=float(self.cfg.icp.max_corr_dist),
+        )
+        poses, _map_pts, cost = optimize_map_ba(
+            self.graph.graph(), prob, self.cfg.posegraph,
+            huber_delta=self.cfg.icp.huber_delta,
+        )
+        poses = np.asarray(poses, dtype=np.float32)
+        if not np.all(np.isfinite(poses)):
+            return False
+        self.map_ba_stats = {
+            "cost": float(cost),
+            "num_obs": int(float(np.asarray(prob.obs_w).sum())),
+            "num_control": int(np.asarray(ctrl.mask).sum()),
+        }
+        with self._lock:
+            self.graph.set_poses(poses)
+            self.odo.T_world_kf = poses[n - 1]
+            for idx in range(n):
+                rec = self.odo.keyframes[idx]
+                self.odo.keyframes[idx] = rec._replace(T_world_kf=poses[idx])
+        return True
 
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
         with self._lock:
