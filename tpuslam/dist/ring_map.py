@@ -62,7 +62,8 @@ def _ring_best_correspond(x, x_mask, map_pts, map_nrm, map_mask,
     # carries must be typed as device-varying to match the post-ppermute
     # loop outputs under shard_map's varying-axes checking
     init = (
-        lax.pvary(jnp.full(x.shape[:1], jnp.inf, dtype=x.dtype), (axis,)),
+        lax.pcast(jnp.full(x.shape[:1], jnp.inf, dtype=x.dtype), (axis,),
+                  to="varying"),
         jnp.zeros_like(x),
         jnp.zeros_like(x),
         map_pts, map_nrm, map_mask,
@@ -80,23 +81,33 @@ def _ring_icp(frame: PointCloud, map_shard: PointCloud, T0,
               cfg: ICPConfig, axis: str, n_dev: int) -> ICPResult:
     """Full ICP loop on one (frame shard, rotating map shard) pair."""
 
+    # Same inner/outer split as tpuslam.icp._icp_loop — here the payoff is
+    # even bigger: one "correspondence" costs a FULL D-step ring exchange of
+    # the map shards, which now amortizes over `inner_steps` GN solves.
+    inner = max(1, int(getattr(cfg, "inner_steps", 1)))
+
     def body(state: _CarryState) -> _CarryState:
         x = se3.transform_points(state.T, frame.points)
         q, n, w = _ring_best_correspond(
             x, frame.mask, map_shard.points, map_shard.normals,
             map_shard.mask, cfg.max_corr_dist, axis, n_dev,
         )
-        stats = gn_reduce(x, q, n, w, frame.mask, cfg.huber_delta)
-        H = lax.psum(stats.H, axis)
-        b = lax.psum(stats.b, axis)
+        T_new = state.T
+        for k in range(inner):
+            if k > 0:
+                x = se3.transform_points(T_new, frame.points)
+            stats = gn_reduce(x, q, n, w, frame.mask, cfg.huber_delta)
+            H = lax.psum(stats.H, axis)
+            b = lax.psum(stats.b, axis)
+            delta = solve_gn_step(H, b, cfg.damping, cfg.damping_abs,
+                                  cfg.max_trans_step, cfg.max_rot_step)
+            T_new = se3.exp(delta) @ T_new
         inl = lax.psum(stats.num_inliers, axis)
         sq = lax.psum(stats.weighted_sq_sum, axis)
         nv = lax.psum(stats.num_valid_src, axis)
-        delta = solve_gn_step(H, b, cfg.damping, cfg.damping_abs,
-                              cfg.max_trans_step, cfg.max_rot_step)
         return _CarryState(
-            T=se3.exp(delta) @ state.T,
-            it=state.it + 1,
+            T=T_new,
+            it=state.it + inner,
             delta_sq=jnp.sum(delta * delta),
             rms=jnp.sqrt(sq / jnp.maximum(inl, 1.0)),
             inlier_fraction=inl / jnp.maximum(nv, 1.0),
