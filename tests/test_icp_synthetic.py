@@ -110,3 +110,32 @@ def test_frame_to_frame_icp():
     assert t_err < 4e-3, f"translation error {t_err}"
     assert r_err < 4e-3, f"rotation error {r_err}"
     assert float(res.inlier_fraction) > 0.5
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_frame_icp_with_source_subsample(factor):
+    """finest_subsample decimates the source residual set only; the pose
+    must stay within a small tolerance of the full-density solution."""
+    from tpuslam.icp import subsample_source
+    import dataclasses
+
+    T_a = np.eye(4)
+    tau = jnp.array([0.03, -0.02, 0.02, 0.015, 0.025, -0.01])
+    T_b = np.asarray(se3.exp(tau))
+    frame_a = depth_frame(T_a)
+    frame_b = depth_frame(T_b)
+    cfg = ICPConfig(pyramid_levels=3, iters_per_level=(12, 8, 8),
+                    max_corr_dist=0.25, huber_delta=0.05)
+    pyr_a = build_pyramid(frame_a, cfg.pyramid_levels)
+    pyr_b = build_pyramid(frame_b, cfg.pyramid_levels)
+    # shape bookkeeping: factor 2 keeps exactly the two interleaved grids
+    cloud = subsample_source(frame_b, factor)
+    n_full = frame_b.points.shape[0] * frame_b.points.shape[1]
+    assert cloud.points.shape[0] == (n_full // 2 if factor == 2
+                                     else n_full // 4)
+    sub_cfg = dataclasses.replace(cfg, finest_subsample=factor)
+    res = align_frames(pyr_b, pyr_a, K, se3.identity(), sub_cfg)
+    t_err, r_err = pose_error(res.T, jnp.asarray(T_b))
+    assert t_err < 5e-3, f"translation error {t_err}"
+    assert r_err < 5e-3, f"rotation error {r_err}"
+    assert float(res.inlier_fraction) > 0.5

@@ -118,3 +118,21 @@ def test_ate_invariant_to_global_transform(rng):
     ts = np.arange(n) / 30.0
     m = ate_rmse(ts, moved, ts, poses)
     assert m["rmse"] < 1e-9
+
+
+def test_rgb_association_and_decode(tmp_path):
+    """rgb.txt parsing + depth<->rgb timestamp association (SURVEY §2a R1)."""
+    from tpuslam.config import Intrinsics
+    from tpuslam.data.synthetic import write_tum_sequence
+    from tpuslam.data.tum import TumSequence
+
+    K = Intrinsics(80.0, 80.0, 39.5, 29.5)
+    write_tum_sequence(str(tmp_path), 4, K, 60, 80, rgb=True)
+    seq = TumSequence(str(tmp_path), load_rgb=True)
+    assert seq.rgb_list is not None and len(seq.rgb_list) == 4
+    f = seq.frame(0)
+    assert f.rgb is not None and f.rgb.shape == (60, 80, 3)
+    assert f.rgb.dtype.kind == "u"
+    # depth-only loads are unaffected
+    f2 = TumSequence(str(tmp_path)).frame(0)
+    assert f2.rgb is None

@@ -173,7 +173,7 @@ def cmd_make_synthetic(args) -> int:
 
     K = Intrinsics(args.fx, args.fx, args.width / 2 - 0.5, args.height / 2 - 0.5)
     write_tum_sequence(args.out, args.frames, K, args.height, args.width,
-                       noise=args.noise)
+                       noise=args.noise, rgb=args.rgb)
     print(json.dumps({"out": args.out, "frames": args.frames}))
     return 0
 
@@ -222,6 +222,8 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=160)
     p.add_argument("--fx", type=float, default=160.0)
     p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--rgb", action="store_true",
+                   help="also write rgb/ PNGs + rgb.txt")
     p.set_defaults(fn=cmd_make_synthetic)
 
     p = sub.add_parser("eval", help="evaluate a trajectory file")

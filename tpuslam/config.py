@@ -103,6 +103,14 @@ class ICPConfig:
     # float32 table (bfloat16's 8 bits cost 8e-4 — not worth it).  All math
     # stays float32; only the gathered target rows are stored quantized.
     packed_dtype: str = "float16"
+    # SOURCE-point decimation at the FINEST pyramid level: keep 1/k of the
+    # source pixels (1 = all, 2 = checkerboard half, 4 = stride-2 grid).
+    # The association gather is ~85% of an iteration and is O(source
+    # points), so k=2 nearly halves the finest-level cost; the TARGET table
+    # stays full resolution, so association precision is unchanged — only
+    # the (massively overdetermined) residual set shrinks.  The 6-DoF GN
+    # system remains conditioned with >100k correspondences at 640×480/k=2.
+    finest_subsample: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

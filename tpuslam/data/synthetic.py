@@ -156,13 +156,17 @@ def write_tum_sequence(
     depth_scale: float = 5000.0,
     noise: float = 0.0,
     fps: float = 30.0,
+    rgb: bool = False,
 ) -> np.ndarray:
     """Write a synthetic TUM-format sequence (depth PNGs + depth.txt +
-    groundtruth.txt) to `root`; returns the (F, 4, 4) groundtruth poses.
+    groundtruth.txt; optionally rgb PNGs + rgb.txt) to `root`; returns the
+    (F, 4, 4) groundtruth poses.
 
     This is the checked-in-style micro-sequence fixture of SURVEY.md §4 —
     identical on-disk layout to a real TUM download, so the loader and CLI
-    paths are exercised end-to-end without the dataset.
+    paths are exercised end-to-end without the dataset.  RGB frames are a
+    depth-shaded rendering (the reference associates depth.txt with rgb.txt,
+    SURVEY.md §2a R1).
     """
     import os
 
@@ -171,9 +175,12 @@ def write_tum_sequence(
     from tpuslam.data.tum import matrix_to_quaternion
 
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    if rgb:
+        os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     poses = orbit_trajectory(num_frames)
     scene = default_scene()
     depth_lines = ["# depth maps", "# timestamp filename"]
+    rgb_lines = ["# color images", "# timestamp filename"]
     gt_lines = ["# ground truth", "# timestamp tx ty tz qx qy qz qw"]
     for i in range(num_frames):
         ts = 1000.0 + i / fps
@@ -183,6 +190,16 @@ def write_tum_sequence(
         rel = f"depth/{ts:.6f}.png"
         cv2.imwrite(os.path.join(root, rel), png)
         depth_lines.append(f"{ts:.6f} {rel}")
+        if rgb:
+            # TUM rgb timestamps differ slightly from depth — emulate that
+            # (tests the association path, not just identical-timestamp zip).
+            ts_rgb = ts + 0.004
+            shade = np.where(depth > 0, depth / max(depth.max(), 1e-6), 0.0)
+            img = (np.stack([shade, shade ** 2, 1.0 - shade], axis=-1)
+                   * 255.0).astype(np.uint8)
+            rel_rgb = f"rgb/{ts_rgb:.6f}.png"
+            cv2.imwrite(os.path.join(root, rel_rgb), img[..., ::-1])  # BGR
+            rgb_lines.append(f"{ts_rgb:.6f} {rel_rgb}")
         q = matrix_to_quaternion(poses[i, :3, :3])
         t = poses[i, :3, 3]
         gt_lines.append(
@@ -191,6 +208,9 @@ def write_tum_sequence(
         )
     with open(os.path.join(root, "depth.txt"), "w") as f:
         f.write("\n".join(depth_lines) + "\n")
+    if rgb:
+        with open(os.path.join(root, "rgb.txt"), "w") as f:
+            f.write("\n".join(rgb_lines) + "\n")
     with open(os.path.join(root, "groundtruth.txt"), "w") as f:
         f.write("\n".join(gt_lines) + "\n")
     return poses

@@ -116,10 +116,26 @@ def intrinsics_for_sequence(name: str) -> Intrinsics:
     return Intrinsics.tum_default()
 
 
+def _decode_rgb_png(path: str) -> np.ndarray:
+    """8-bit color PNG -> (H, W, 3) uint8 RGB."""
+    try:
+        import cv2
+
+        raw = cv2.imread(path, cv2.IMREAD_COLOR)
+        if raw is None:
+            raise IOError(f"failed to read {path}")
+        return raw[..., ::-1].copy()  # BGR -> RGB
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
 class TumFrame(NamedTuple):
     timestamp: float
     depth: np.ndarray                # (H, W) float32 metres
     gt_pose: Optional[np.ndarray]    # (4, 4) float64 world←cam, or None
+    rgb: Optional[np.ndarray] = None  # (H, W, 3) uint8, when load_rgb
 
 
 def quaternion_to_matrix(qx, qy, qz, qw) -> np.ndarray:
@@ -146,7 +162,8 @@ def matrix_to_quaternion(R: np.ndarray) -> np.ndarray:
 class TumSequence:
     """A TUM RGB-D sequence directory: depth frames + optional groundtruth."""
 
-    def __init__(self, root: str, max_difference: float = 0.02):
+    def __init__(self, root: str, max_difference: float = 0.02,
+                 load_rgb: bool = False):
         self.root = root
         self.name = os.path.basename(os.path.normpath(root))
         self.intrinsics = intrinsics_for_sequence(self.name)
@@ -159,6 +176,16 @@ class TumSequence:
             )
         else:
             self._gt_matches = {}
+        self.load_rgb = load_rgb
+        rgb_path = os.path.join(root, "rgb.txt")
+        self.rgb_list = (
+            read_file_list(rgb_path)
+            if load_rgb and os.path.exists(rgb_path) else None
+        )
+        self._rgb_matches = (
+            dict(associate(self.depth_list, self.rgb_list, max_difference))
+            if self.rgb_list else {}
+        )
 
     def __len__(self) -> int:
         return len(self.depth_list)
@@ -177,7 +204,13 @@ class TumSequence:
     def frame(self, index: int, depth_scale: float = 5000.0) -> TumFrame:
         ts, (rel_path, *_) = self.depth_list[index]
         depth = _decode_depth_png(os.path.join(self.root, rel_path), depth_scale)
-        return TumFrame(timestamp=ts, depth=depth, gt_pose=self.gt_pose(index))
+        rgb = None
+        j = self._rgb_matches.get(index)
+        if j is not None:
+            rgb = _decode_rgb_png(
+                os.path.join(self.root, self.rgb_list[j][1][0]))
+        return TumFrame(timestamp=ts, depth=depth, gt_pose=self.gt_pose(index),
+                        rgb=rgb)
 
     def frames(self, depth_scale: float = 5000.0, start: int = 0,
                stop: Optional[int] = None, prefetch: int = 8

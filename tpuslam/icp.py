@@ -202,6 +202,26 @@ def subsample_frame(frame: Frame, factor: int = 2) -> Frame:
     )
 
 
+def subsample_source(frame: Frame, factor: int) -> PointCloud:
+    """Decimate the SOURCE side of an alignment (see ICPConfig.finest_subsample).
+
+    factor 1 → all pixels; 2 → every other ROW (contiguous row slices keep
+    the projective gather's spatial locality — a checkerboard pattern was
+    measured 35% SLOWER than full density because the interleaved layout
+    defeats it); 4 → one stride-2 grid.  Static shapes in every case; the
+    target table is untouched so association precision is unaffected — only
+    the residual count drops.
+    """
+    if factor == 1:
+        return frame.as_cloud()
+    if factor == 2:
+        return Frame(points=frame.points[0::2], normals=frame.normals[0::2],
+                     mask=frame.mask[0::2]).as_cloud()
+    if factor == 4:
+        return subsample_frame(frame, 2).as_cloud()
+    raise ValueError(f"finest_subsample must be 1, 2 or 4; got {factor}")
+
+
 def build_pyramid(frame: Frame, levels: int):
     """[finest, ..., coarsest] stride-2 pyramid."""
     pyr = [frame]
@@ -231,7 +251,11 @@ def align_frames(
         src_f: Frame = src_pyr[li]
         dst_f: Frame = dst_pyr[li]
         K_l = K.scaled(1.0 / (2 ** li))
-        src_cloud = src_f.as_cloud()
+        if li == 0:
+            src_cloud = subsample_source(
+                src_f, int(getattr(cfg, "finest_subsample", 1)))
+        else:
+            src_cloud = src_f.as_cloud()
         h, w, _ = dst_f.points.shape
         # one row-gather table per level, hoisted out of the iteration loop
         packed = pack_organized_target(
