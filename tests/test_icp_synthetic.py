@@ -128,11 +128,13 @@ def test_frame_icp_with_source_subsample(factor):
                     max_corr_dist=0.25, huber_delta=0.05)
     pyr_a = build_pyramid(frame_a, cfg.pyramid_levels)
     pyr_b = build_pyramid(frame_b, cfg.pyramid_levels)
-    # shape bookkeeping: factor 2 keeps exactly the two interleaved grids
+    # shape bookkeeping: factor 2 keeps every other ROW (points[0::2]);
+    # factor 4 keeps one stride-2 grid.  Expected counts derived from the
+    # frame shape so odd H stays correct (ceil division).
     cloud = subsample_source(frame_b, factor)
-    n_full = frame_b.points.shape[0] * frame_b.points.shape[1]
-    assert cloud.points.shape[0] == (n_full // 2 if factor == 2
-                                     else n_full // 4)
+    h, w = frame_b.points.shape[0], frame_b.points.shape[1]
+    assert cloud.points.shape[0] == ((h + 1) // 2 * w if factor == 2
+                                     else (h + 1) // 2 * ((w + 1) // 2))
     sub_cfg = dataclasses.replace(cfg, finest_subsample=factor)
     res = align_frames(pyr_b, pyr_a, K, se3.identity(), sub_cfg)
     t_err, r_err = pose_error(res.T, jnp.asarray(T_b))

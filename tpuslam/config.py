@@ -104,7 +104,9 @@ class ICPConfig:
     # stays float32; only the gathered target rows are stored quantized.
     packed_dtype: str = "float16"
     # SOURCE-point decimation at the FINEST pyramid level: keep 1/k of the
-    # source pixels (1 = all, 2 = checkerboard half, 4 = stride-2 grid).
+    # source pixels (1 = all, 2 = every other ROW — contiguous row slices
+    # keep the gather's spatial locality; a checkerboard was measured 35%
+    # slower — 4 = stride-2 grid).
     # The association gather is ~85% of an iteration and is O(source
     # points), so k=2 nearly halves the finest-level cost; the TARGET table
     # stays full resolution, so association precision is unchanged — only

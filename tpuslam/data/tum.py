@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import warnings
 from typing import Iterator, NamedTuple, Optional, Sequence
 
 import numpy as np
@@ -178,14 +179,21 @@ class TumSequence:
             self._gt_matches = {}
         self.load_rgb = load_rgb
         rgb_path = os.path.join(root, "rgb.txt")
-        self.rgb_list = (
-            read_file_list(rgb_path)
-            if load_rgb and os.path.exists(rgb_path) else None
-        )
+        if load_rgb and not os.path.exists(rgb_path):
+            # Silently yielding rgb=None would mask a wrong --sequence path
+            # or an un-extracted dataset; surface it instead.
+            raise FileNotFoundError(
+                f"load_rgb=True but {rgb_path} does not exist — wrong "
+                "sequence directory, or the dataset was not extracted?")
+        self.rgb_list = read_file_list(rgb_path) if load_rgb else None
         self._rgb_matches = (
             dict(associate(self.depth_list, self.rgb_list, max_difference))
             if self.rgb_list else {}
         )
+        if load_rgb and not self._rgb_matches:
+            warnings.warn(
+                f"load_rgb=True but timestamp association between depth.txt "
+                f"and rgb.txt produced zero matches in {root}", stacklevel=2)
 
     def __len__(self) -> int:
         return len(self.depth_list)
