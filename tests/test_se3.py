@@ -116,3 +116,26 @@ def test_rotation_angle_translation_norm(rng):
         )
         assert np.asarray(se3.rotation_angle(T)) == pytest.approx(angle, abs=1e-5)
         assert np.asarray(se3.translation_norm(T)) == pytest.approx(5.0, abs=1e-5)
+
+
+def test_log_near_identity_no_cancellation(rng):
+    """Regression: log() of a near-identity transform must return a twist of
+    the input's magnitude, not explode.  With the sinc-series threshold at
+    θ² < 1e-8, f32 cosθ rounds to exactly 1.0 just ABOVE the threshold
+    (θ ≈ 1e-4), the 'exact' (1−cosθ)/θ² evaluated to 0, and the left-Jacobian
+    inverse amplified millimetre translations to kilometres."""
+    axes = rng.normal(size=(40, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    # sweep straight through the old θ = 1e-4 threshold and up to the new one
+    angles = np.geomspace(1e-6, 0.5, 40)
+    t = rng.normal(size=(40, 3)).astype(np.float32) * 1e-3
+    for i in range(40):
+        phi = (axes[i] * angles[i]).astype(np.float32)
+        T = se3.from_rt(se3.so3_exp(jnp.asarray(phi)), jnp.asarray(t[i]))
+        tau = np.asarray(se3.log(T))
+        # rho is bounded by ~|t|·(1 + θ/2 corrections); kilometres = bug
+        assert np.linalg.norm(tau[:3]) < 10 * np.linalg.norm(t[i]) + 1e-6, (
+            angles[i], tau)
+        # and the round trip reproduces T
+        T_back = np.asarray(se3.exp(jnp.asarray(tau)))
+        np.testing.assert_allclose(T_back, np.asarray(T), atol=1e-6)

@@ -39,6 +39,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="write trajectory/map PNG artifacts here")
     p.add_argument("--track-against-map", action="store_true",
                    help="refine every frame against the voxel map")
+    p.add_argument("--map-track-mode", default="projective",
+                   choices=("projective", "grid"),
+                   help="frame-to-map association: reverse projective "
+                        "(one row gather per map point, default) or "
+                        "grid-hash index probe")
     p.add_argument("--map-ba", action="store_true",
                    help="final Schur-complement map bundle adjustment over "
                         "all keyframes (backend/map_ba.py)")
@@ -69,7 +74,8 @@ def _run_pipeline(args, use_slam: bool) -> int:
     system = (
         SlamSystem(K, cfg,
                    track_against_map=getattr(args, "track_against_map", False),
-                   map_ba=getattr(args, "map_ba", False))
+                   map_ba=getattr(args, "map_ba", False),
+                   map_track_mode=getattr(args, "map_track_mode", "projective"))
         if use_slam
         else Odometry(K, cfg, keep_keyframe_clouds=False)
     )

@@ -112,7 +112,9 @@ class ICPConfig:
     # stays full resolution, so association precision is unchanged — only
     # the (massively overdetermined) residual set shrinks.  The 6-DoF GN
     # system remains conditioned with >100k correspondences at 640×480/k=2.
-    finest_subsample: int = 1
+    # Default 2: measured 246 vs 216 fps at 640×480 full tracking with the
+    # synthetic-loop ATE unchanged at the noise floor (1.3e-4 vs 1.0e-4 m).
+    finest_subsample: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -133,6 +133,7 @@ def _ring_icp(frame: PointCloud, map_shard: PointCloud, T0,
         inlier_fraction=out.inlier_fraction,
         converged=out.delta_sq <= cfg.tol_delta ** 2,
         H=out.H,
+        num_inliers=out.num_inliers,
     )
 
 
@@ -162,7 +163,7 @@ def align_to_map_ring(frame: PointCloud, map_cloud: PointCloud,
         mesh=mesh,
         in_specs=(specs, specs, P()),
         out_specs=ICPResult(T=P(), iters=P(), rms=P(), inlier_fraction=P(),
-                            converged=P(), H=P()),
+                            converged=P(), H=P(), num_inliers=P()),
     )
 
     @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))

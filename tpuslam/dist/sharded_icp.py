@@ -26,7 +26,7 @@ from tpuslam.config import ICPConfig, Intrinsics
 from tpuslam.dist.mesh import SHARD_AXIS, pad_to_multiple
 from tpuslam.geom import se3
 from tpuslam.geom.cloud import PointCloud
-from tpuslam.icp import Frame, ICPResult, _CarryState
+from tpuslam.icp import Frame, ICPResult, _CarryState, subsample_source
 from tpuslam.kernels.correspond import (
     pack_organized_target,
     projective_correspond_packed,
@@ -99,6 +99,7 @@ def _icp_level_spmd(src_cloud: PointCloud, dst_f: Frame, K_l: Intrinsics,
         inlier_fraction=out.inlier_fraction,
         converged=out.delta_sq <= cfg.tol_delta ** 2,
         H=out.H,
+        num_inliers=out.num_inliers,
     )
 
 
@@ -118,7 +119,13 @@ def align_frames_spmd(src_pyr, dst_pyr, K: Intrinsics, T0: jnp.ndarray,
         src_f: Frame = src_pyr[li]
         dst_f: Frame = dst_pyr[li]
         K_l = K.scaled(1.0 / (2 ** li))
-        cloud = src_f.as_cloud()
+        # mirror the single-device finest-level source decimation so the
+        # SPMD reduction stays bit-comparable to tpuslam.icp.align_frames
+        if li == 0:
+            cloud = subsample_source(
+                src_f, int(getattr(cfg, "finest_subsample", 1)))
+        else:
+            cloud = src_f.as_cloud()
         cloud = PointCloud(
             points=pad_to_multiple(cloud.points, n_dev),
             normals=pad_to_multiple(cloud.normals, n_dev),
@@ -140,7 +147,7 @@ def align_frames_spmd(src_pyr, dst_pyr, K: Intrinsics, T0: jnp.ndarray,
             in_specs=(cloud_specs, frame_specs, P(), P()),
             out_specs=ICPResult(
                 T=P(), iters=P(), rms=P(), inlier_fraction=P(),
-                converged=P(), H=P(),
+                converged=P(), H=P(), num_inliers=P(),
             ),
             )
         result = level_fn(cloud, dst_f, K_l, T)

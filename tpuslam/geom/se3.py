@@ -39,23 +39,44 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+# Series-vs-exact switch for the sinc-family coefficients.  The threshold is
+# an f32 CANCELLATION bound, not an underflow bound: the exact branches
+# compute 1−cosθ and θ−sinθ, which lose ALL mantissa bits once θ²/2 (resp.
+# θ³/6) drops below eps(1)≈6e-8 — at θ ≈ 1e-4, f32 cos θ rounds to exactly
+# 1.0 and the "exact" b is 0 instead of 0.5 (this corrupted log() of
+# near-identity poses by 7 orders of magnitude before the bound was raised).
+# At θ = 0.25 the 3-term series' truncation error (next term θ⁶/5040 ≈ 5e-8
+# relative) and the exact branch's cancellation error (eps/(θ²/2) ≈ 2e-6
+# relative) are both at the f32 noise floor — crossover chosen there.
+_SINC_SERIES_THETA_SQ = 0.0625  # θ < 0.25
+
+
 def _sinc_coeffs(theta_sq: jnp.ndarray):
     """Return (A, B, C) = (sinθ/θ, (1−cosθ)/θ², (θ−sinθ)/θ³), Taylor-safe.
 
     Both branches of every `where` are finite for all inputs (the series
     branch is evaluated on the clamped θ²), so gradients are NaN-free.
     """
-    # Clamp at the series-branch threshold (θ² < 1e-8 selects the series), so
-    # the exact branch is only ever *evaluated* at θ ≥ 1e-4 — keeping its
-    # backward pass (which divides by up to θ⁶) clear of f32 underflow.
-    theta_sq_safe = jnp.maximum(theta_sq, 1e-8)
+    # Clamp at the series-branch threshold so the exact branch is only ever
+    # *evaluated* at θ ≥ 0.25 — keeping its backward pass (which divides by
+    # up to θ⁶) clear of f32 underflow AND its value clear of cancellation.
+    theta_sq_safe = jnp.maximum(theta_sq, _SINC_SERIES_THETA_SQ)
     theta = jnp.sqrt(theta_sq_safe)
-    small = theta_sq < 1e-8
-    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq_safe)
+    small = theta_sq < _SINC_SERIES_THETA_SQ
+    t2 = theta_sq
+    a = jnp.where(
+        small,
+        1.0 - t2 / 6.0 + t2 * t2 / 120.0,
+        jnp.sin(theta) / theta,
+    )
+    b = jnp.where(
+        small,
+        0.5 - t2 / 24.0 + t2 * t2 / 720.0,
+        (1.0 - jnp.cos(theta)) / theta_sq_safe,
+    )
     c = jnp.where(
         small,
-        1.0 / 6.0 - theta_sq / 120.0,
+        1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0,
         (theta - jnp.sin(theta)) / (theta_sq_safe * theta),
     )
     return a, b, c
@@ -128,16 +149,19 @@ def _left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
 
 def _left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
     theta_sq = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, _EPS * _EPS))
     a, b, _ = _sinc_coeffs(theta_sq)
     W = hat(phi)
     W2 = W @ W
-    small = theta_sq < 1e-8
-    # coefficient of W²: (1/θ²)(1 − A/(2B))
+    # Same crossover as _sinc_coeffs: below it the exact form's numerator
+    # 1 − A/(2B) is a difference of two near-1 f32 values (catastrophic
+    # cancellation, then divided by θ²); the 3-term series is exact to f32
+    # there (next term θ⁴/30240 ≈ 1e-7 relative at θ = 0.25).
+    small = theta_sq < _SINC_SERIES_THETA_SQ
     coeff = jnp.where(
         small,
-        1.0 / 12.0 + theta_sq / 720.0,
-        (1.0 - a / (2.0 * jnp.maximum(b, _EPS))) / jnp.maximum(theta_sq, 1e-8),
+        1.0 / 12.0 + theta_sq / 720.0 + theta_sq * theta_sq / 30240.0,
+        (1.0 - a / (2.0 * jnp.maximum(b, _EPS)))
+        / jnp.maximum(theta_sq, _SINC_SERIES_THETA_SQ),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
     return eye - 0.5 * W + coeff[..., None, None] * W2

@@ -42,6 +42,9 @@ class ICPResult(NamedTuple):
     H: jnp.ndarray               # (6, 6) final GN information matrix —
     #                              observability diagnostics (loop-closure
     #                              gating reads eig(H[:3,:3]) = Σw·nnᵀ)
+    num_inliers: jnp.ndarray     # () float — absolute inlier count (useful
+    #                              when the source is a whole map and the
+    #                              fraction-in-view is not meaningful)
 
 
 class _CarryState(NamedTuple):
@@ -124,6 +127,7 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
         inlier_fraction=out.inlier_fraction,
         converged=out.delta_sq <= cfg.tol_delta ** 2,
         H=out.H,
+        num_inliers=out.num_inliers,
     )
 
 
@@ -167,6 +171,66 @@ def align_to_index(src: PointCloud, index: GridIndex, T0: jnp.ndarray,
 
 align_to_index_jit = jax.jit(align_to_index,
                              static_argnames=("cfg", "use_pallas"))
+
+
+def align_map_to_frame(map_cloud: PointCloud, frame: "Frame", K: Intrinsics,
+                       T0_world_cam: jnp.ndarray, cfg: ICPConfig,
+                       use_pallas: bool = False) -> ICPResult:
+    """Frame-to-map tracking by REVERSE projective association
+    (SURVEY.md §2a R10 / BASELINE config 4, redesigned TPU-first).
+
+    Instead of probing a grid-hash index per frame point (27 searchsorted +
+    candidate gathers per query), flip the roles: the *map* is the source and
+    the organized *frame* is the target.  Each world-frame map point is
+    transformed into the camera, projected, and matched to the frame pixel it
+    lands on with ONE 16-byte row gather from the frame's packed table —
+    exactly the machinery that makes frame-to-frame tracking fast.  No index
+    build, no probe; map points outside the frustum simply weigh zero
+    (in_front / in_bounds gates), keeping every shape static.
+
+    Solves for S = T_cam←world via point-to-plane GN on the frame normals
+    (residual nᶠ·(S·q − p)); returns T_world←cam = S⁻¹ in `.T`.
+
+    `inlier_fraction` is measured against the map points inside the warm-
+    start frustum (a whole-map denominator would be meaningless — the camera
+    only ever sees a fraction of the map); `num_inliers` is absolute.
+    """
+    h, w, _ = frame.points.shape
+    packed = pack_organized_target(
+        frame.points, frame.normals, frame.mask,
+        dtype=jnp.dtype(getattr(cfg, "packed_dtype", "float32")),
+    )
+
+    def correspond(x, mask, n_rot):
+        return projective_correspond_packed(
+            x, mask, packed, h, w, K, cfg.max_corr_dist,
+            src_normals_in_dst=n_rot,
+            normal_dot_min=cfg.normal_dot_min,
+        )
+
+    S0 = se3.inv(T0_world_cam)
+    # Frustum-cull at the warm start so inlier_fraction has a meaningful
+    # denominator (points the camera could plausibly see).
+    from tpuslam.geom.backproject import project
+
+    x0 = se3.transform_points(S0, map_cloud.points)
+    uv0, in_front0 = project(x0, K)
+    margin = 0.1  # fractional frustum slack for warm-start error
+    in_view = (
+        in_front0
+        & (uv0[..., 0] >= -margin * w) & (uv0[..., 0] < (1 + margin) * w)
+        & (uv0[..., 1] >= -margin * h) & (uv0[..., 1] < (1 + margin) * h)
+        & (x0[..., 2] < cfg.depth_max)
+    )
+    src = PointCloud(points=map_cloud.points, normals=map_cloud.normals,
+                     mask=map_cloud.mask & in_view)
+    res = _icp_loop(correspond, src, S0, cfg, cfg.max_iters,
+                    use_pallas=use_pallas)
+    return res._replace(T=se3.inv(res.T))
+
+
+align_map_to_frame_jit = jax.jit(align_map_to_frame,
+                                 static_argnames=("cfg", "use_pallas"))
 
 
 def _build_index(dst: PointCloud, cfg: ICPConfig) -> GridIndex:

@@ -35,7 +35,8 @@ class SlamSystem:
                  enable_map: bool = False,
                  track_against_map: bool = False,
                  async_backend: bool = False,
-                 map_ba: bool = False):
+                 map_ba: bool = False,
+                 map_track_mode: str = "projective"):
         self.cfg = cfg
         self.odo = Odometry(K, cfg, keep_keyframe_clouds=True)
         self.graph = GraphHost(cfg.posegraph)
@@ -45,6 +46,14 @@ class SlamSystem:
         enable_map = enable_map or track_against_map or map_ba
         self.map: Optional[VoxelMap] = VoxelMap(cfg.voxel) if enable_map else None
         self.track_against_map = track_against_map
+        if map_track_mode not in ("projective", "grid"):
+            raise ValueError(f"map_track_mode must be 'projective' or 'grid',"
+                             f" got {map_track_mode!r}")
+        # "projective" = reverse projective association (map points gathered
+        # against the current frame's packed table — one row gather per map
+        # point, no index build; tpuslam/icp.py:align_map_to_frame).
+        # "grid" = legacy grid-hash probe against a sorted map index.
+        self.map_track_mode = map_track_mode
         self._map_index = None
         self._known_edges: set[tuple[int, int]] = set()
         self._num_graph_nodes = 0
@@ -118,24 +127,31 @@ class SlamSystem:
         keyframe-relative estimate against the accumulated voxel map."""
         import jax.numpy as jnp
 
-        from tpuslam.icp import align_to_index_jit
+        from tpuslam.icp import align_map_to_frame_jit, align_to_index_jit
 
         kf_id, T_rel = self.odo.frame_refs[-1]
         rec = self.odo.keyframes[kf_id]
         if self.odo.last_pyr is None or self.map.num_insertions < 2:
             return
-        if self._map_index is None:
-            self._map_index = self.map.build_index(
-                cell=float(self.cfg.icp.max_corr_dist)
-            )
-        cloud = self.odo._kf_cloud(self.odo.last_pyr)  # current frame, cam frame
         T0 = jnp.asarray(
             rec.T_world_kf.astype(np.float32) @ T_rel.astype(np.float32)
         )
-        res = align_to_index_jit(cloud, self._map_index, T0, self.cfg.icp)
+        if self.map_track_mode == "projective":
+            res = align_map_to_frame_jit(
+                self.map.cloud, self.odo.last_pyr[0], self.odo.K, T0,
+                self.cfg.icp, use_pallas=self.cfg.use_pallas,
+            )
+        else:
+            if self._map_index is None:
+                self._map_index = self.map.build_index(
+                    cell=float(self.cfg.icp.max_corr_dist)
+                )
+            cloud = self.odo._kf_cloud(self.odo.last_pyr)  # current frame, cam
+            res = align_to_index_jit(cloud, self._map_index, T0, self.cfg.icp)
         ok = (
             bool(res.converged)
             and float(res.inlier_fraction) > 0.3
+            and float(res.num_inliers) > 300.0
             and np.all(np.isfinite(np.asarray(res.T)))
         )
         self.map_refine_stats.append(
