@@ -15,9 +15,16 @@ seen the whole map; the GN reduction over frame shards completes with one
 `psum`.  Results are bit-comparable to the unsharded exact-NN path (min and
 sum are order-insensitive up to float rounding).
 
-The collective is XLA `ppermute` (compiles to neighbor ICI sends on TPU);
-a hand-scheduled Pallas remote-DMA double-buffered variant is the planned
-upgrade for overlap (ROADMAP.md).
+Two interchangeable ring backends:
+
+  * `backend="xla"` — `lax.ppermute` between compute steps (XLA serializes
+    the permute against the correspondence compute).
+  * `backend="pallas"` — ONE hand-scheduled Pallas kernel per ICP iteration
+    runs all D hops with double-buffered `make_async_remote_copy` so each
+    hop's ICI transfer overlaps the NN compute on the held shard, with a
+    credit-token handshake for flow control (kernels/pallas_ring.py;
+    pallas_guide §18).  Validated in interpret mode on the fake CPU mesh
+    (remote DMAs simulated); compiled Mosaic on real multi-chip TPU.
 """
 
 from __future__ import annotations
@@ -77,8 +84,31 @@ def _ring_best_correspond(x, x_mask, map_pts, map_nrm, map_mask,
     return best_q, best_n, valid.astype(x.dtype)
 
 
+def _ring_best_correspond_pallas(x, x_mask, shard_cols, max_dist: float,
+                                 axis: str, n_dev: int, interpret: bool):
+    """All-hops NN via the fused Pallas remote-DMA ring kernel."""
+    from tpuslam.kernels.pallas_ring import pack_query_columns, ring_nn
+
+    m = shard_cols.shape[1]
+    bm = next(b for b in (512, 256, 128, m) if m % b == 0)
+    row, score = ring_nn(
+        pack_query_columns(x), shard_cols,
+        n_dev=n_dev, axis_name=axis, block_m=bm, interpret=interpret,
+    )
+    q, n = row[:, :3], row[:, 3:6]
+    # kernel score is |q|²−2x·q; add |x|² for the true squared distance
+    d2 = jnp.maximum(score[:, 0] + jnp.sum(x * x, axis=-1), 0.0)
+    has_normal = jnp.sum(n * n, axis=-1) > 0.5
+    valid = (
+        x_mask & (row[:, 6] > 0.5) & jnp.isfinite(score[:, 0])
+        & (d2 < max_dist * max_dist) & has_normal
+    )
+    return q, n, valid.astype(x.dtype)
+
+
 def _ring_icp(frame: PointCloud, map_shard: PointCloud, T0,
-              cfg: ICPConfig, axis: str, n_dev: int) -> ICPResult:
+              cfg: ICPConfig, axis: str, n_dev: int,
+              backend: str = "xla", interpret: bool = False) -> ICPResult:
     """Full ICP loop on one (frame shard, rotating map shard) pair."""
 
     # Same inner/outer split as tpuslam.icp._icp_loop — here the payoff is
@@ -86,12 +116,25 @@ def _ring_icp(frame: PointCloud, map_shard: PointCloud, T0,
     # the map shards, which now amortizes over `inner_steps` GN solves.
     inner = max(1, int(getattr(cfg, "inner_steps", 1)))
 
+    if backend == "pallas":
+        from tpuslam.kernels.pallas_ring import pack_cloud_columns
+
+        # packed once per alignment, outside the while_loop
+        shard_cols = pack_cloud_columns(
+            map_shard.points, map_shard.normals, map_shard.mask)
+
     def body(state: _CarryState) -> _CarryState:
         x = se3.transform_points(state.T, frame.points)
-        q, n, w = _ring_best_correspond(
-            x, frame.mask, map_shard.points, map_shard.normals,
-            map_shard.mask, cfg.max_corr_dist, axis, n_dev,
-        )
+        if backend == "pallas":
+            q, n, w = _ring_best_correspond_pallas(
+                x, frame.mask, shard_cols, cfg.max_corr_dist, axis, n_dev,
+                interpret,
+            )
+        else:
+            q, n, w = _ring_best_correspond(
+                x, frame.mask, map_shard.points, map_shard.normals,
+                map_shard.mask, cfg.max_corr_dist, axis, n_dev,
+            )
         T_new = state.T
         for k in range(inner):
             if k > 0:
@@ -139,31 +182,45 @@ def _ring_icp(frame: PointCloud, map_shard: PointCloud, T0,
 
 def align_to_map_ring(frame: PointCloud, map_cloud: PointCloud,
                       T0: jnp.ndarray, cfg: ICPConfig, mesh: Mesh,
-                      axis: str = SHARD_AXIS) -> ICPResult:
+                      axis: str = SHARD_AXIS,
+                      backend: str = "xla") -> ICPResult:
     """Frame-to-map ICP with BOTH clouds sharded over the mesh.
 
     Frame points stay put; map shards ring-rotate each iteration — map HBM
     footprint per chip is M/D, yet correspondences are exact over the whole
-    map within `max_corr_dist`."""
-    n_dev = mesh.shape[axis]
+    map within `max_corr_dist`.
 
-    def padc(c: PointCloud) -> PointCloud:
+    backend: "xla" (ppermute ring) or "pallas" (fused remote-DMA ring kernel
+    with compute/transfer overlap — kernels/pallas_ring.py)."""
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
+    n_dev = mesh.shape[axis]
+    # Pallas: per-shard map length must tile the lane dim (128) and frame
+    # shard the sublane dim (8); padding rows carry mask=False so both
+    # backends reduce identically.
+    map_mult = n_dev * 128 if backend == "pallas" else n_dev
+    frame_mult = n_dev * 8 if backend == "pallas" else n_dev
+
+    def padc(c: PointCloud, mult: int) -> PointCloud:
         return PointCloud(
-            points=pad_to_multiple(c.points, n_dev),
-            normals=pad_to_multiple(c.normals, n_dev),
-            mask=pad_to_multiple(c.mask, n_dev, fill=False),
+            points=pad_to_multiple(c.points, mult),
+            normals=pad_to_multiple(c.normals, mult),
+            mask=pad_to_multiple(c.mask, mult, fill=False),
         )
 
-    frame_p = padc(frame)
-    map_p = padc(map_cloud)
+    frame_p = padc(frame, frame_mult)
+    map_p = padc(map_cloud, map_mult)
+    interpret = jax.default_backend() != "tpu"
     specs = PointCloud(points=P(axis, None), normals=P(axis, None),
                        mask=P(axis))
     fn = shard_map(
-        partial(_ring_icp, cfg=cfg, axis=axis, n_dev=n_dev),
+        partial(_ring_icp, cfg=cfg, axis=axis, n_dev=n_dev,
+                backend=backend, interpret=interpret),
         mesh=mesh,
         in_specs=(specs, specs, P()),
         out_specs=ICPResult(T=P(), iters=P(), rms=P(), inlier_fraction=P(),
                             converged=P(), H=P(), num_inliers=P()),
+        check_vma=(backend != "pallas"),
     )
 
     @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
