@@ -97,6 +97,13 @@ class ICPConfig:
     # can only fire between gathers, so near convergence the extra forced
     # inner solves are pure waste (measured 206 vs 219 fps).
     inner_steps: int = 2
+    # Optional per-level override of `inner_steps`, index 0 = FINEST (same
+    # convention as iters_per_level).  Coarse levels are latency-bound (the
+    # small gathers cost a near-constant ~85 µs regardless of point count)
+    # and never early-exit mid-gather-group, so packing MORE GN solves per
+    # gather there is nearly free while the finest level stays at 2 (its
+    # early-exit granularity matters — see inner_steps note above).
+    inner_steps_per_level: tuple | None = None
     # Storage dtype of the packed projective-association table.  The TPU
     # gather engine moves 16-byte rows ~2.3x faster than 32-byte rows, and
     # float16's 10-bit mantissa keeps the converged pose within 6e-5 of the
@@ -201,8 +208,10 @@ class SLAMConfig:
         kw = {}
         for k, v in raw.items():
             if k in sub and isinstance(v, dict):
-                if "iters_per_level" in v and isinstance(v["iters_per_level"], list):
-                    v = dict(v, iters_per_level=tuple(v["iters_per_level"]))
+                # JSON has no tuples; per-level knobs must be hashable
+                # (configs are static jit args)
+                v = {k2: tuple(v2) if isinstance(v2, list) else v2
+                     for k2, v2 in v.items()}
                 kw[k] = sub[k](**v)
             else:
                 kw[k] = v

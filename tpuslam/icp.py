@@ -69,14 +69,17 @@ def _use_pallas_now(requested: bool) -> bool:
 
 def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
               cfg: ICPConfig, max_iters: int,
-              use_pallas: bool = False) -> ICPResult:
+              use_pallas: bool = False,
+              inner_steps: int | None = None) -> ICPResult:
     """Generic ICP driver; `correspond_fn(x, mask, src_n_rot)` supplies matches.
 
     `correspond_fn` receives source points already mapped by the current
     transform estimate and returns a `Correspondence`.
     """
     pallas_on = _use_pallas_now(use_pallas)
-    inner = max(1, int(getattr(cfg, "inner_steps", 1)))
+    if inner_steps is None:
+        inner_steps = getattr(cfg, "inner_steps", 1)
+    inner = max(1, int(inner_steps))
 
     def body(state: _CarryState) -> _CarryState:
         # One correspondence gather per outer iteration (the dominant cost),
@@ -336,8 +339,10 @@ def align_frames(
             )
 
         iters = cfg.iters_per_level[li] if li < len(cfg.iters_per_level) else cfg.max_iters
+        ipl = getattr(cfg, "inner_steps_per_level", None)
+        inner = ipl[li] if ipl is not None and li < len(ipl) else None
         result = _icp_loop(correspond, src_cloud, T, cfg, iters,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, inner_steps=inner)
         T = result.T
     return result
 
