@@ -159,3 +159,21 @@ def test_frame_icp_with_per_level_inner_steps():
     res = align_frames(pyr_b, pyr_a, K, se3.identity(), cfg)
     t_err, r_err = pose_error(res.T, jnp.asarray(T_b))
     assert t_err < 4e-3 and r_err < 4e-3
+
+
+def test_frame_icp_with_per_level_tol():
+    """tol_delta_per_level loosens coarse-level early exit; the finest level
+    keeps the tight tolerance so the converged pose is unchanged."""
+    import dataclasses
+
+    T_a = np.eye(4)
+    tau = jnp.array([0.03, -0.02, 0.02, 0.015, 0.025, -0.01])
+    T_b = np.asarray(se3.exp(tau))
+    cfg = ICPConfig(pyramid_levels=3, iters_per_level=(12, 8, 8),
+                    tol_delta_per_level=(1e-4, 1e-3, 2e-3),
+                    max_corr_dist=0.25, huber_delta=0.05)
+    pyr_a = build_pyramid(depth_frame(T_a), cfg.pyramid_levels)
+    pyr_b = build_pyramid(depth_frame(T_b), cfg.pyramid_levels)
+    res = align_frames(pyr_b, pyr_a, K, se3.identity(), cfg)
+    t_err, r_err = pose_error(res.T, jnp.asarray(T_b))
+    assert t_err < 4e-3 and r_err < 4e-3

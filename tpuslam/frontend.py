@@ -37,7 +37,14 @@ from tpuslam.geom.backproject import backproject
 from tpuslam.geom.cloud import PointCloud
 from tpuslam.geom.normals import organized_normals
 from tpuslam.geom.voxel import voxel_downsample
-from tpuslam.icp import Frame, ICPResult, align_frames, build_pyramid
+from tpuslam.icp import (
+    Frame,
+    ICPResult,
+    align_frames,
+    align_frames_packed,
+    build_pyramid,
+    pack_pyramid,
+)
 
 
 def damped_velocity(delta: jnp.ndarray, gamma: float) -> jnp.ndarray:
@@ -72,11 +79,7 @@ class TrackResult(NamedTuple):
     lost: jnp.ndarray          # () bool — tracking failure
 
 
-def track_step(kf_pyr, cur_pyr, K: Intrinsics, T0: jnp.ndarray,
-               cfg: SLAMConfig) -> TrackResult:
-    """Track current frame against keyframe; decide promotion (pure/jittable)."""
-    res = align_frames(cur_pyr, kf_pyr, K, T0, cfg.icp,
-                       use_pallas=cfg.use_pallas)
+def _promote_flags(res: ICPResult, T0: jnp.ndarray, cfg: SLAMConfig):
     T = res.T
     lost = (res.inlier_fraction < 0.1) | ~jnp.all(jnp.isfinite(T))
     T = jnp.where(lost, T0, T)
@@ -86,6 +89,34 @@ def track_step(kf_pyr, cur_pyr, K: Intrinsics, T0: jnp.ndarray,
         | (res.inlier_fraction < cfg.keyframe.min_inlier_fraction)
     ) & ~lost
     return TrackResult(T_kf_cam=T, icp=res, promote=promote, lost=lost)
+
+
+def track_step_packed(kf_packed: tuple, cur_pyr, K: Intrinsics,
+                      T0: jnp.ndarray, cfg: SLAMConfig) -> TrackResult:
+    """`track_step` against a pre-packed keyframe (see icp.pack_pyramid —
+    packing is ~0.64 ms/frame at 640×480, paid once per promotion here)."""
+    res = align_frames_packed(cur_pyr, kf_packed, K, T0, cfg.icp,
+                              use_pallas=cfg.use_pallas)
+    return _promote_flags(res, T0, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_step_packed_jit(kf_packed, cur_pyr, K, T0,
+                          cfg: SLAMConfig) -> TrackResult:
+    return track_step_packed(kf_packed, cur_pyr, K, T0, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pack_pyramid_jit(pyr, cfg: SLAMConfig):
+    return pack_pyramid(pyr, cfg.icp)
+
+
+def track_step(kf_pyr, cur_pyr, K: Intrinsics, T0: jnp.ndarray,
+               cfg: SLAMConfig) -> TrackResult:
+    """Track current frame against keyframe; decide promotion (pure/jittable)."""
+    res = align_frames(cur_pyr, kf_pyr, K, T0, cfg.icp,
+                       use_pallas=cfg.use_pallas)
+    return _promote_flags(res, T0, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -114,6 +145,7 @@ class Odometry:
         self.T_kf_cam = jnp.eye(4)
         self.last_delta = jnp.eye(4)      # constant-velocity model
         self.kf_pyr = None
+        self.kf_packed = None             # row-gather tables, built per promote
         self.frame_idx = 0
         self.trajectory: list[np.ndarray] = []
         self.timestamps: list[float] = []
@@ -133,6 +165,7 @@ class Odometry:
 
     def _promote(self, pyr, timestamp: float) -> None:
         self.kf_pyr = pyr
+        self.kf_packed = pack_pyramid_jit(pyr, self.cfg)
         cloud = self._kf_cloud(pyr) if self.keep_keyframe_clouds else None
         self.keyframes.append(
             KeyframeRecord(
@@ -156,7 +189,10 @@ class Odometry:
         else:
             T0 = self.T_kf_cam @ damped_velocity(self.last_delta,
                                                  self.cfg.cv_damping)
-            out = track_step_jit(self.kf_pyr, pyr, self.K, T0, self.cfg)
+            if self.kf_packed is None:  # resumed from a checkpoint
+                self.kf_packed = pack_pyramid_jit(self.kf_pyr, self.cfg)
+            out = track_step_packed_jit(self.kf_packed, pyr, self.K, T0,
+                                        self.cfg)
             T_rel = np.asarray(out.T_kf_cam)
             self.last_delta = se3.relative(self.T_kf_cam, out.T_kf_cam)
             self.T_kf_cam = out.T_kf_cam
@@ -185,7 +221,7 @@ class Odometry:
 
 
 class ScanState(NamedTuple):
-    kf_pyr: tuple               # keyframe pyramid (pytree of Frames)
+    kf_packed: tuple            # keyframe row-gather tables (per level)
     T_world_kf: jnp.ndarray
     T_kf_cam: jnp.ndarray
     last_delta: jnp.ndarray
@@ -193,6 +229,11 @@ class ScanState(NamedTuple):
 
 def scan_odometry(depths: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
     """Full-sequence odometry as one jitted `lax.scan` over frames.
+
+    The keyframe lives in the carry as its PACKED gather tables, not as raw
+    pyramids: tracking only ever reads the tables, and re-packing is gated
+    behind `lax.cond(promote, ...)` so its ~0.64 ms cost (640×480×3 levels)
+    is paid only on the ~1-in-10 frames that actually promote.
 
     Args:
       depths: (F, H, W) float32 metres (pre-decoded, device-resident).
@@ -204,15 +245,20 @@ def scan_odometry(depths: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
         pyr = preprocess(depth, K, cfg)
         T0 = state.T_kf_cam @ damped_velocity(state.last_delta,
                                               cfg.cv_damping)
-        out = track_step(state.kf_pyr, pyr, K, T0, cfg)
+        out = track_step_packed(state.kf_packed, pyr, K, T0, cfg)
         T_world_cam = state.T_world_kf @ out.T_kf_cam
         promote = out.promote
 
         def sel(new, old):
             return jnp.where(promote, new, old)
 
+        new_packed = jax.lax.cond(
+            promote,
+            lambda: pack_pyramid(pyr, cfg.icp),
+            lambda: state.kf_packed,
+        )
         new_state = ScanState(
-            kf_pyr=jax.tree.map(sel, pyr, state.kf_pyr),
+            kf_packed=new_packed,
             T_world_kf=sel(T_world_cam, state.T_world_kf),
             T_kf_cam=sel(jnp.eye(4), out.T_kf_cam),
             last_delta=se3.relative(state.T_kf_cam, out.T_kf_cam),
@@ -221,7 +267,7 @@ def scan_odometry(depths: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
 
     pyr0 = preprocess(depths[0], K, cfg)
     init = ScanState(
-        kf_pyr=pyr0,
+        kf_packed=pack_pyramid(pyr0, cfg.icp),
         T_world_kf=jnp.eye(4),
         T_kf_cam=jnp.eye(4),
         last_delta=jnp.eye(4),

@@ -70,7 +70,8 @@ def _use_pallas_now(requested: bool) -> bool:
 def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
               cfg: ICPConfig, max_iters: int,
               use_pallas: bool = False,
-              inner_steps: int | None = None) -> ICPResult:
+              inner_steps: int | None = None,
+              tol_delta: float | None = None) -> ICPResult:
     """Generic ICP driver; `correspond_fn(x, mask, src_n_rot)` supplies matches.
 
     `correspond_fn` receives source points already mapped by the current
@@ -80,6 +81,8 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
     if inner_steps is None:
         inner_steps = getattr(cfg, "inner_steps", 1)
     inner = max(1, int(inner_steps))
+    if tol_delta is None:
+        tol_delta = cfg.tol_delta
 
     def body(state: _CarryState) -> _CarryState:
         # One correspondence gather per outer iteration (the dominant cost),
@@ -111,7 +114,7 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
         )
 
     def cond(state: _CarryState) -> jnp.ndarray:
-        return (state.it < max_iters) & (state.delta_sq > cfg.tol_delta ** 2)
+        return (state.it < max_iters) & (state.delta_sq > tol_delta ** 2)
 
     init = _CarryState(
         T=T0,
@@ -128,7 +131,7 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
         iters=out.it,
         rms=out.rms,
         inlier_fraction=out.inlier_fraction,
-        converged=out.delta_sq <= cfg.tol_delta ** 2,
+        converged=out.delta_sq <= tol_delta ** 2,
         H=out.H,
         num_inliers=out.num_inliers,
     )
@@ -297,38 +300,49 @@ def build_pyramid(frame: Frame, levels: int):
     return pyr
 
 
-def align_frames(
+def pack_pyramid(pyr, cfg: ICPConfig) -> tuple:
+    """Pack every level of an organized pyramid into row-gather tables.
+
+    Packing costs ~0.64 ms/frame at 640×480×3 levels (the lane-dim concat
+    into 8-wide rows is relayout-bound), so the KEYFRAME tables must be
+    built once per keyframe promotion — not once per tracked frame.  Both
+    odometry drivers (host `Odometry` and device `scan_odometry`) carry the
+    packed pyramid and re-pack only on promotion.
+    """
+    dtype = jnp.dtype(getattr(cfg, "packed_dtype", "float32"))
+    return tuple(
+        pack_organized_target(f.points, f.normals, f.mask, dtype=dtype)
+        for f in pyr
+    )
+
+
+def align_frames_packed(
     src_pyr,
-    dst_pyr,
+    dst_packed: tuple,
     K: Intrinsics,
     T0: jnp.ndarray,
     cfg: ICPConfig,
     use_pallas: bool = False,
 ) -> ICPResult:
-    """Coarse-to-fine projective ICP between two organized frames.
+    """Coarse-to-fine projective ICP against pre-packed target tables.
 
-    Estimates T s.t. `dst_point ≈ T · src_point` (pose of the src camera in
-    the dst camera frame).  Pyramid levels are unrolled; each level runs a
-    jitted while_loop with that level's static shapes.
+    `dst_packed[li]` is `pack_pyramid`'s table for level `li`; the target's
+    image geometry is taken from `src_pyr` (both sides of a tracking pair
+    share the pyramid shapes).
     """
     levels = len(src_pyr)
     T = T0
     result = None
     for li in range(levels - 1, -1, -1):  # coarsest → finest
         src_f: Frame = src_pyr[li]
-        dst_f: Frame = dst_pyr[li]
         K_l = K.scaled(1.0 / (2 ** li))
         if li == 0:
             src_cloud = subsample_source(
                 src_f, int(getattr(cfg, "finest_subsample", 1)))
         else:
             src_cloud = src_f.as_cloud()
-        h, w, _ = dst_f.points.shape
-        # one row-gather table per level, hoisted out of the iteration loop
-        packed = pack_organized_target(
-            dst_f.points, dst_f.normals, dst_f.mask,
-            dtype=jnp.dtype(getattr(cfg, "packed_dtype", "float32")),
-        )
+        h, w, _ = src_f.points.shape
+        packed = dst_packed[li]
 
         def correspond(x, mask, n_rot, packed=packed, h=h, w=w, K_l=K_l):
             return projective_correspond_packed(
@@ -341,10 +355,34 @@ def align_frames(
         iters = cfg.iters_per_level[li] if li < len(cfg.iters_per_level) else cfg.max_iters
         ipl = getattr(cfg, "inner_steps_per_level", None)
         inner = ipl[li] if ipl is not None and li < len(ipl) else None
+        tpl = getattr(cfg, "tol_delta_per_level", None)
+        tol = tpl[li] if tpl is not None and li < len(tpl) else None
         result = _icp_loop(correspond, src_cloud, T, cfg, iters,
-                           use_pallas=use_pallas, inner_steps=inner)
+                           use_pallas=use_pallas, inner_steps=inner,
+                           tol_delta=tol)
         T = result.T
     return result
+
+
+def align_frames(
+    src_pyr,
+    dst_pyr,
+    K: Intrinsics,
+    T0: jnp.ndarray,
+    cfg: ICPConfig,
+    use_pallas: bool = False,
+) -> ICPResult:
+    """Coarse-to-fine projective ICP between two organized frames.
+
+    Estimates T s.t. `dst_point ≈ T · src_point` (pose of the src camera in
+    the dst camera frame).  Pyramid levels are unrolled; each level runs a
+    jitted while_loop with that level's static shapes.  Packs the target
+    per call — loop-hoist with `pack_pyramid` + `align_frames_packed` when
+    the same target is tracked against repeatedly (keyframe tracking).
+    """
+    return align_frames_packed(
+        src_pyr, pack_pyramid(dst_pyr, cfg), K, T0, cfg,
+        use_pallas=use_pallas)
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_pallas"))

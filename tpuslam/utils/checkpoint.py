@@ -101,6 +101,7 @@ def load_checkpoint(path: str, system) -> int:
     odo.frame_refs = [
         (int(i), T) for i, T in zip(z["frame_ref_ids"], z["frame_ref_T"])
     ]
+    odo.kf_packed = None  # rebuilt lazily from kf_pyr on the next track
     if "kf_pyr_levels" in z:
         odo.kf_pyr = tuple(
             Frame(
