@@ -49,6 +49,27 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "all keyframes (backend/map_ba.py)")
     p.add_argument("--progress", action="store_true",
                    help="print a live per-frame status line to stderr")
+    p.add_argument("--async-backend", action="store_true",
+                   help="run loop closure + pose-graph optimization in a "
+                        "worker thread overlapped with tracking")
+    _add_distributed(p)
+
+
+def _add_distributed(p: argparse.ArgumentParser) -> None:
+    """Multi-host launch flags (SURVEY.md §2d: one process per host, same
+    SPMD program; jax.distributed runtime)."""
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (enables jax.distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
+def _init_distributed(args) -> None:
+    if getattr(args, "coordinator", None):
+        from tpuslam.dist.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
 
 
 def _load_config(path):
@@ -68,6 +89,7 @@ def _run_pipeline(args, use_slam: bool) -> int:
     from tpuslam.utils.checkpoint import load_checkpoint, save_checkpoint
     from tpuslam.utils.metrics import JsonlLogger
 
+    _init_distributed(args)
     cfg = _load_config(args.config)
     seq = TumSequence(args.sequence)
     K = seq.intrinsics
@@ -75,7 +97,8 @@ def _run_pipeline(args, use_slam: bool) -> int:
         SlamSystem(K, cfg,
                    track_against_map=getattr(args, "track_against_map", False),
                    map_ba=getattr(args, "map_ba", False),
-                   map_track_mode=getattr(args, "map_track_mode", "projective"))
+                   map_track_mode=getattr(args, "map_track_mode", "projective"),
+                   async_backend=getattr(args, "async_backend", False))
         if use_slam
         else Odometry(K, cfg, keep_keyframe_clouds=False)
     )
@@ -201,6 +224,7 @@ def cmd_eval(args) -> int:
 def cmd_bench(args) -> int:
     from tpuslam.bench.harness import run_bench
 
+    _init_distributed(args)
     result = run_bench(
         frames=args.frames, height=args.height, width=args.width,
         config_path=args.config, devices=args.devices,
@@ -243,6 +267,7 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--config", default=None)
     p.add_argument("--devices", type=int, default=None)
+    _add_distributed(p)
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
