@@ -130,6 +130,13 @@ class ICPConfig:
     # Default 2: measured 246 vs 216 fps at 640×480 full tracking with the
     # synthetic-loop ATE unchanged at the noise floor (1.3e-4 vs 1.0e-4 m).
     finest_subsample: int = 2
+    # Optional per-level source decimation override, index 0 = FINEST (same
+    # convention as iters_per_level); each entry ∈ {1, 2, 4} as in
+    # finest_subsample.  The middle pyramid level runs several gather-groups
+    # per frame at FULL source density by default — decimating it trades
+    # residual count (hugely overdetermined) for gather rows exactly like
+    # the finest level does.  None → (finest_subsample, 1, 1, ...).
+    level_subsample: tuple | None = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -331,16 +331,17 @@ def align_frames_packed(
     share the pyramid shapes).
     """
     levels = len(src_pyr)
+    lvl_sub = getattr(cfg, "level_subsample", None)
     T = T0
     result = None
     for li in range(levels - 1, -1, -1):  # coarsest → finest
         src_f: Frame = src_pyr[li]
         K_l = K.scaled(1.0 / (2 ** li))
-        if li == 0:
-            src_cloud = subsample_source(
-                src_f, int(getattr(cfg, "finest_subsample", 1)))
+        if lvl_sub is not None and li < len(lvl_sub):
+            factor = int(lvl_sub[li])
         else:
-            src_cloud = src_f.as_cloud()
+            factor = int(getattr(cfg, "finest_subsample", 1)) if li == 0 else 1
+        src_cloud = subsample_source(src_f, factor)
         h, w, _ = src_f.points.shape
         packed = dst_packed[li]
 
