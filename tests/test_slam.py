@@ -105,3 +105,31 @@ def test_slam_with_map_ba(loop_sequence):
     assert np.all(np.isfinite(est))
     # BA must not blow up the trajectory; equal-or-better within noise
     assert m["rmse"] < max(1.5 * m_before["rmse"], 0.02), (m, m_before)
+
+
+def test_slam_with_sharded_map(loop_sequence):
+    """Full SLAM with the mesh-sharded voxel map (all-to-all fusion + ring
+    frame-to-map refinement) on the fake 8-device mesh — must match the
+    single-device map system's map content and keep the trajectory sane."""
+    from tpuslam.dist.map_fusion import ShardedVoxelMap
+
+    gt, depths = loop_sequence
+    ref = SlamSystem(K, CFG, enable_loop_closure=False, enable_map=True)
+    slam = SlamSystem(K, CFG, enable_loop_closure=False, enable_map=True,
+                      sharded_map=True, track_against_map=True)
+    for i in range(0, 16):
+        ref.process(depths[i], timestamp=i / 30.0)
+        slam.process(depths[i], timestamp=i / 30.0)
+    assert isinstance(slam.map, ShardedVoxelMap)
+    assert slam.map.num_insertions == len(slam.odo.keyframes)
+    assert slam.map.dropped_total == 0
+    # refinement actually ran and mostly accepted
+    assert len(slam.map_refine_stats) > 0
+    ok_frac = np.mean([s["ok"] for s in slam.map_refine_stats])
+    assert ok_frac > 0.5, slam.map_refine_stats
+    # same keyframe decisions → same map content as the single-device system
+    if len(ref.odo.keyframes) == len(slam.odo.keyframes):
+        assert abs(slam.map.size() - ref.map.size()) <= 0.05 * ref.map.size()
+    ts, est = slam.trajectory()
+    m = ate_rmse(ts, est, np.arange(len(gt)) / 30.0, gt, max_difference=0.005)
+    assert m["rmse"] < 0.02, m

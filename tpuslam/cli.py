@@ -44,6 +44,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="frame-to-map association: reverse projective "
                         "(one row gather per map point, default) or "
                         "grid-hash index probe")
+    p.add_argument("--sharded-map", action="store_true",
+                   help="shard the voxel map over all devices: all-to-all "
+                        "owner-routed fusion + ring frame-to-map tracking")
     p.add_argument("--map-ba", action="store_true",
                    help="final Schur-complement map bundle adjustment over "
                         "all keyframes (backend/map_ba.py)")
@@ -98,7 +101,8 @@ def _run_pipeline(args, use_slam: bool) -> int:
                    track_against_map=getattr(args, "track_against_map", False),
                    map_ba=getattr(args, "map_ba", False),
                    map_track_mode=getattr(args, "map_track_mode", "projective"),
-                   async_backend=getattr(args, "async_backend", False))
+                   async_backend=getattr(args, "async_backend", False),
+                   sharded_map=getattr(args, "sharded_map", False))
         if use_slam
         else Odometry(K, cfg, keep_keyframe_clouds=False)
     )

@@ -232,3 +232,9 @@ class ShardedVoxelMap:
 
     def size(self) -> int:
         return int(self.cloud_shards.count())
+
+    def points(self) -> np.ndarray:
+        """Valid world-frame points (host copy, for viz/eval)."""
+        full = self.gather()
+        m = np.asarray(full.mask)
+        return np.asarray(full.points)[m]

@@ -36,7 +36,8 @@ class SlamSystem:
                  track_against_map: bool = False,
                  async_backend: bool = False,
                  map_ba: bool = False,
-                 map_track_mode: str = "projective"):
+                 map_track_mode: str = "projective",
+                 sharded_map: bool = False):
         self.cfg = cfg
         self.odo = Odometry(K, cfg, keep_keyframe_clouds=True)
         self.graph = GraphHost(cfg.posegraph)
@@ -44,7 +45,21 @@ class SlamSystem:
         self.map_ba = map_ba
         self.map_ba_stats: Optional[dict] = None
         enable_map = enable_map or track_against_map or map_ba
-        self.map: Optional[VoxelMap] = VoxelMap(cfg.voxel) if enable_map else None
+        self.sharded_map = sharded_map
+        if enable_map and sharded_map:
+            # Mesh-sharded map: fusion via all-to-all owner routing
+            # (dist/map_fusion.py), frame-to-map refinement via the ring
+            # (dist/ring_map.py) — the map never lives on one device.
+            from tpuslam.dist.map_fusion import ShardedVoxelMap
+            from tpuslam.dist.mesh import make_mesh
+
+            self._map_mesh = make_mesh()
+            self.map = ShardedVoxelMap(
+                cfg.voxel, self._map_mesh, new_capacity=cfg.voxel.capacity)
+        elif enable_map:
+            self.map = VoxelMap(cfg.voxel)
+        else:
+            self.map = None
         self.track_against_map = track_against_map
         if map_track_mode not in ("projective", "grid"):
             raise ValueError(f"map_track_mode must be 'projective' or 'grid',"
@@ -136,7 +151,15 @@ class SlamSystem:
         T0 = jnp.asarray(
             rec.T_world_kf.astype(np.float32) @ T_rel.astype(np.float32)
         )
-        if self.map_track_mode == "projective":
+        if self.sharded_map:
+            from tpuslam.dist.ring_map import align_to_map_ring
+
+            cloud = self.odo._kf_cloud(self.odo.last_pyr)  # current frame, cam
+            res = align_to_map_ring(
+                cloud, self.map.cloud_shards, T0, self.cfg.icp,
+                self._map_mesh,
+            )
+        elif self.map_track_mode == "projective":
             res = align_map_to_frame_jit(
                 self.map.cloud, self.odo.last_pyr[0], self.odo.K, T0,
                 self.cfg.icp, use_pallas=self.cfg.use_pallas,
@@ -224,8 +247,10 @@ class SlamSystem:
         n = self._num_graph_nodes
         if self.map is None or n < 2 or self.map.num_insertions < 2:
             return False
+        map_cloud = (self.map.gather() if self.sharded_map
+                     else self.map.cloud)
         ctrl = voxel_downsample(
-            self.map.cloud, 2.0 * self.cfg.voxel.map_voxel_size, max_control,
+            map_cloud, 2.0 * self.cfg.voxel.map_voxel_size, max_control,
             origin=self.cfg.voxel.origin, extent=self.cfg.voxel.extent,
         )
         kf_points, kf_mask, kf_poses = [], [], []
