@@ -59,6 +59,27 @@ poses_spmd, cost = optimize_pose_graph_spmd(graph, cfg, mesh)
 err = float(np.abs(np.asarray(poses_spmd.addressable_data(0))
                    - np.asarray(poses_ref)).max())
 print("DISTBA_ERR", err, flush=True)
+
+# --- all-to-all owner-routed map fusion across the two processes ---
+from tpuslam.config import VoxelConfig
+from tpuslam.dist.map_fusion import ShardedVoxelMap
+from tpuslam.geom.cloud import PointCloud
+from tpuslam.mapping import VoxelMap
+
+vcfg = VoxelConfig(map_voxel_size=0.05, map_capacity=1 << 10,
+                   origin=-2.0, extent=4.0)
+rng2 = np.random.default_rng(7)
+pts = rng2.uniform(-1.5, 1.5, size=(512, 3)).astype(np.float32)
+nrm = rng2.normal(size=(512, 3)).astype(np.float32)
+nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+cloud = PointCloud(points=jnp.asarray(pts), normals=jnp.asarray(nrm),
+                   mask=jnp.ones((512,), bool))
+svm = ShardedVoxelMap(vcfg, mesh, new_capacity=512)
+stats = svm.insert(cloud, np.eye(4, dtype=np.float32))
+ref = VoxelMap(vcfg)
+ref.insert(cloud, np.eye(4, dtype=np.float32))
+print("FUSION", int(stats.dropped), svm.size(), int(ref.cloud.count()),
+      flush=True)
 """
 
 
@@ -100,3 +121,7 @@ def test_two_process_collectives_and_distba(tmp_path):
         assert "PSUM [3.0, 3.0, 3.0, 3.0]" in out, out
         line = [ln for ln in out.splitlines() if ln.startswith("DISTBA_ERR")][0]
         assert float(line.split()[1]) < 5e-4, line
+        line = [ln for ln in out.splitlines() if ln.startswith("FUSION")][0]
+        dropped, got, want = (int(v) for v in line.split()[1:4])
+        assert dropped == 0, line
+        assert got == want, f"fusion voxel count differs across hosts: {line}"
