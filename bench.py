@@ -24,6 +24,8 @@ def main() -> int:
                 "detail": {
                     "ms_per_frame": round(r["ms_per_frame"], 3),
                     "icp_iter_latency_ms": round(r["icp_iter_latency_ms"], 3),
+                    "ate_rmse_m": round(r["ate_rmse_m"], 6),
+                    "loader_fps": round(r["loader"]["decode_fps"], 1),
                     "device": r["device"],
                     "frames": r["frames"],
                 },

@@ -111,6 +111,14 @@ def run_bench(frames: int = 120, height: int = 480, width: int = 640,
     result["fps_per_chip"] = frames / wall
     result["ms_per_frame"] = wall / frames * 1e3
 
+    # accuracy guard on the same run: ATE vs the synthetic ground truth —
+    # a perf number from a diverged tracker is meaningless
+    from tpuslam.eval.ate import ate_rmse
+
+    ts = np.arange(frames, dtype=np.float64)
+    m = ate_rmse(ts, np.asarray(out[0]), ts, np.asarray(_poses))
+    result["ate_rmse_m"] = m["rmse"]
+
     # --- per-ICP-iteration latency: run a fixed 50-iteration finest-level
     # alignment in ONE dispatch so the remote-dispatch overhead amortizes ---
     pyr_a = preprocess_jit(depths[0], K, cfg)
