@@ -77,3 +77,30 @@ def test_slam_checkpoint_roundtrips_graph(tmp_path):
     ts1, tr1 = s1.trajectory()
     ts2, tr2 = s2.trajectory()
     np.testing.assert_allclose(tr2, tr1, atol=1e-6)
+
+
+def test_resume_rebuilds_voxel_map(tmp_path):
+    """The map is a derived product of the keyframes; resume must re-fuse
+    them so frame-to-map tracking / map BA keep working after --resume."""
+    _, depths = _render(10)
+    path = str(tmp_path / "map_ckpt.npz")
+    # tight promotion threshold so several keyframes (and map insertions)
+    # happen within the short fixture
+    cfg = SLAMConfig(
+        height=H, width=W, icp=CFG.icp,
+        keyframe=KeyframeConfig(max_translation=0.02, max_rotation=0.05),
+    )
+    s1 = SlamSystem(K, cfg, enable_loop_closure=False, enable_map=True)
+    for i in range(10):
+        s1.process(depths[i], timestamp=i / 30.0)
+    assert s1.map.num_insertions == len(s1.odo.keyframes) >= 2
+    save_checkpoint(path, s1, s1.odo.frame_idx)
+
+    s2 = SlamSystem(K, cfg, enable_loop_closure=False, enable_map=True)
+    load_checkpoint(path, s2)
+    assert s2.map.num_insertions == s1.map.num_insertions
+    # identical fusion inputs (same clouds, same poses) → identical map
+    assert s2.map.size() == s1.map.size()
+    p1 = np.sort(s1.map.points(), axis=0)
+    p2 = np.sort(s2.map.points(), axis=0)
+    np.testing.assert_allclose(p2, p1, atol=1e-6)

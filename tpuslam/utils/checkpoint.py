@@ -142,4 +142,13 @@ def load_checkpoint(path: str, system) -> int:
         system._known_edges = {
             (int(g._edge_i[e]), int(g._edge_j[e])) for e in range(g.num_edges)
         }
+    # The voxel map is a derived product of the keyframes; the snapshot
+    # stores only keyframes, so rebuild the map by re-fusing them — without
+    # this, map tracking / map BA silently run against an empty map after
+    # --resume (the graph sync loop sees nothing new to insert).
+    if _is_slam(system) and getattr(system, "map", None) is not None:
+        for rec in odo.keyframes:
+            if rec.cloud is not None:
+                system.map.insert(rec.cloud, rec.T_world_kf)
+        system._map_index = None
     return int(z["frame_idx"])
