@@ -1,0 +1,115 @@
+"""Relocalization after tracking loss (backend/relocalize.py).
+
+Loss is forced deterministically: a couple of garbage (all-invalid) frames
+start the lost streak, and the keyframe-relative estimate is corrupted by
+~1 m — far outside the projective-ICP basin with max_corr_dist 0.25 — so
+the next valid frame stays lost and must recover through relocalization.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.backend.relocalize import relocalize
+from tpuslam.config import (
+    ICPConfig,
+    Intrinsics,
+    KeyframeConfig,
+    PoseGraphConfig,
+    SLAMConfig,
+    VoxelConfig,
+)
+from tpuslam.data.synthetic import render_depth
+from tpuslam.geom import se3
+from tpuslam.slam import SlamSystem
+from tests.test_slam import loop_trajectory
+
+K = Intrinsics(160.0, 160.0, 79.5, 59.5)
+H, W = 120, 160
+
+CFG = SLAMConfig(
+    height=H, width=W,
+    icp=ICPConfig(pyramid_levels=3, iters_per_level=(12, 8, 8),
+                  max_corr_dist=0.25, huber_delta=0.05),
+    keyframe=KeyframeConfig(max_translation=0.06, max_rotation=0.10),
+    posegraph=PoseGraphConfig(max_nodes=64, max_edges=256,
+                              lc_min_gap=3, lc_max_dist=0.6,
+                              lc_max_residual=0.05, lc_min_inliers=0.3),
+    voxel=VoxelConfig(capacity=1 << 13, map_capacity=1 << 15),
+)
+
+
+def _sequence(n=20):
+    poses = loop_trajectory(30)[:n]
+    depths = np.stack(
+        [render_depth(poses[i], K, H, W, seed=i) for i in range(n)]
+    )
+    return poses, depths
+
+
+def test_relocalize_unit():
+    """relocalize() must pick the right keyframe and recover the pose."""
+    gt, depths = _sequence(20)
+    slam = SlamSystem(K, CFG, enable_loop_closure=False)
+    for i in range(20):
+        slam.process(depths[i], timestamp=i / 30.0)
+    kfs = slam.odo.keyframes
+    assert len(kfs) >= 3
+    # query: keyframe 1's own cloud, seen from a slightly offset pose
+    tau = jnp.array([0.02, -0.015, 0.01, 0.01, -0.01, 0.008])
+    T_cam_kf1 = se3.inv(se3.exp(tau))  # camera pose in kf1 frame
+    q = kfs[1].cloud.transform(se3.inv(np.asarray(T_cam_kf1)))
+    T_last = kfs[1].T_world_kf.astype(np.float64) @ np.asarray(T_cam_kf1)
+    r = relocalize(q, kfs, T_last, CFG.icp, CFG.posegraph)
+    assert r is not None
+    # pose correct in WORLD frame (nearby keyframes may legitimately win
+    # the candidate race; what matters is where the camera ends up)
+    T_world_est = kfs[r.kf_id].T_world_kf.astype(np.float64) @ r.T_kf_cam
+    T_world_true = kfs[1].T_world_kf.astype(np.float64) @ np.asarray(T_cam_kf1)
+    err = np.asarray(se3.log(jnp.asarray(
+        np.linalg.inv(T_world_est) @ T_world_true, dtype=jnp.float32)))
+    # grid-hash ICP on voxel-downsampled clouds is ~1e-2 accurate (see
+    # test_two_cloud_icp_converges[True]); reloc only needs to land inside
+    # the tracker's reconvergence basin
+    assert np.linalg.norm(err) < 2e-2, (r, err)
+
+
+def test_slam_recovers_from_tracking_loss():
+    gt, depths = _sequence(20)
+    slam = SlamSystem(K, CFG, enable_loop_closure=False, reloc_after=2)
+    for i in range(16):
+        slam.process(depths[i], timestamp=i / 30.0)
+    n_kf_before = len(slam.odo.keyframes)
+    assert n_kf_before >= 3
+
+    # occlusion: two all-invalid frames start the lost streak
+    garbage = np.zeros((H, W), np.float32)
+    slam.process(garbage, timestamp=16 / 30.0)
+    slam.process(garbage, timestamp=17 / 30.0)
+    assert slam.odo.stats[-1]["lost"]
+    assert not slam.relocalizations  # garbage cloud can't pass the gates
+
+    # corrupt the keyframe-relative estimate beyond the ICP basin — the
+    # next valid frame cannot re-acquire by tracking alone
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, 3] = [1.0, -0.8, 0.6]
+    slam.odo.T_kf_cam = jnp.asarray(slam.odo.T_kf_cam @ bad)
+
+    slam.process(depths[16], timestamp=18 / 30.0)
+    assert len(slam.relocalizations) == 1, slam.odo.stats[-3:]
+    r = slam.relocalizations[0]
+    # relocalized pose matches ground truth
+    T_est = slam.odo.trajectory[-1]
+    err = np.linalg.norm(np.asarray(T_est)[:3, 3] - gt[16][:3, 3])
+    assert err < 2e-2, (err, r)
+    # the reloc keyframe joined the graph via a reloc edge, not an
+    # odometry edge across the loss gap
+    new_id = len(slam.odo.keyframes) - 1
+    assert (r.kf_id, new_id) in slam._known_edges
+    assert (new_id - 1, new_id) not in slam._known_edges
+
+    # tracking continues cleanly after recovery
+    for i in range(17, 20):
+        slam.process(depths[i], timestamp=(i + 2) / 30.0)
+    assert not slam.odo.stats[-1].get("lost")
+    err = np.linalg.norm(slam.odo.trajectory[-1][:3, 3] - gt[19][:3, 3])
+    assert err < 2e-2, err

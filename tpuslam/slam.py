@@ -37,7 +37,9 @@ class SlamSystem:
                  async_backend: bool = False,
                  map_ba: bool = False,
                  map_track_mode: str = "projective",
-                 sharded_map: bool = False):
+                 sharded_map: bool = False,
+                 enable_relocalization: bool = True,
+                 reloc_after: int = 2):
         self.cfg = cfg
         self.odo = Odometry(K, cfg, keep_keyframe_clouds=True)
         self.graph = GraphHost(cfg.posegraph)
@@ -73,6 +75,16 @@ class SlamSystem:
         self._known_edges: set[tuple[int, int]] = set()
         self._num_graph_nodes = 0
         self.closures: list = []
+        # Relocalization (backend/relocalize.py): after `reloc_after`
+        # consecutive lost frames, re-anchor the current frame on the
+        # nearest stored keyframe; the new keyframe joins the graph with a
+        # verified reloc edge INSTEAD of a (bogus) odometry edge across the
+        # loss gap.
+        self.enable_relocalization = enable_relocalization
+        self.reloc_after = reloc_after
+        self._lost_streak = 0
+        self._pending_reloc_edges: dict[int, tuple[int, np.ndarray]] = {}
+        self.relocalizations: list = []
         self.map_refine_stats: list[dict] = []
         # PP analogue (SURVEY.md §2c "PP" row): the backend (loop-closure
         # verification + pose-graph GN) runs in a worker thread overlapped
@@ -123,7 +135,14 @@ class SlamSystem:
             k = self._num_graph_nodes
             rec = self.odo.keyframes[k]
             self.graph.add_node(rec.T_world_kf)
-            if k > 0:
+            if k in self._pending_reloc_edges:
+                # keyframe born from relocalization: link it to its anchor
+                # with the verified reloc pose — an odometry edge to k-1
+                # would confidently encode the unobserved loss-gap motion
+                anchor, T_ij = self._pending_reloc_edges.pop(k)
+                self.graph.add_edge(anchor, k, T_ij, weight=2.0)
+                self._known_edges.add((anchor, k))
+            elif k > 0:
                 prev = self.odo.keyframes[k - 1]
                 T_ij = np.linalg.inv(prev.T_world_kf.astype(np.float64)) @ (
                     rec.T_world_kf.astype(np.float64)
@@ -287,9 +306,54 @@ class SlamSystem:
                 self.odo.keyframes[idx] = rec._replace(T_world_kf=poses[idx])
         return True
 
+    def _attempt_relocalization(self) -> bool:
+        """Re-anchor the current (lost) frame on a stored keyframe.
+
+        Called under self._lock.  On success the current frame is promoted
+        to a keyframe at the verified pose and queued to join the graph via
+        a reloc edge to its anchor (see _sync_graph_with_keyframes)."""
+        import jax.numpy as jnp
+
+        from tpuslam.backend.relocalize import relocalize
+
+        odo = self.odo
+        if odo.last_pyr is None or not odo.keyframes:
+            return False
+        frame_cloud = odo._kf_cloud(odo.last_pyr)
+        kf_id, T_rel = odo.frame_refs[-1]
+        T_last = odo.keyframes[kf_id].T_world_kf.astype(np.float64) @ T_rel
+        r = relocalize(frame_cloud, odo.keyframes, T_last,
+                       self.cfg.icp, self.cfg.posegraph)
+        if r is None:
+            return False
+        anchor = odo.keyframes[r.kf_id]
+        T_world_cam = anchor.T_world_kf.astype(np.float64) @ r.T_kf_cam
+        odo.T_world_kf = T_world_cam.astype(np.float32)
+        odo.T_kf_cam = jnp.eye(4)
+        odo.last_delta = jnp.eye(4)   # stale velocity caused/was lost with it
+        odo._promote(odo.last_pyr, odo.timestamps[-1])
+        # _promote stamps index=frame_idx, which already advanced past the
+        # frame being relocalized
+        odo.keyframes[-1] = odo.keyframes[-1]._replace(index=odo.frame_idx - 1)
+        new_id = len(odo.keyframes) - 1
+        odo.frame_refs[-1] = (new_id, np.eye(4))
+        odo.trajectory[-1] = T_world_cam
+        odo.stats[-1]["relocalized"] = True
+        self._pending_reloc_edges[new_id] = (r.kf_id, np.asarray(r.T_kf_cam))
+        self.relocalizations.append(r)
+        return True
+
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
         with self._lock:
             self.odo.process(depth, timestamp)
+            if self.odo.stats[-1].get("lost"):
+                self._lost_streak += 1
+                if (self.enable_relocalization
+                        and self._lost_streak >= self.reloc_after
+                        and self._attempt_relocalization()):
+                    self._lost_streak = 0
+            else:
+                self._lost_streak = 0
             new_kf = self._sync_graph_with_keyframes()
         if new_kf:
             if self.async_backend:
