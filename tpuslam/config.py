@@ -121,7 +121,12 @@ class ICPConfig:
     # SOURCE-point decimation at the FINEST pyramid level: keep 1/k of the
     # source pixels (1 = all, 2 = every other ROW — contiguous row slices
     # keep the gather's spatial locality; a checkerboard was measured 35%
-    # slower — 4 = stride-2 grid).
+    # slower — 4 = use the next-coarser pyramid frame as the source, i.e. a
+    # stride-2 grid without the relayout-bound (H, W, 3) strided slice).
+    # 4 is +11% fps over 2 at 640×480 (438 vs 394) with synthetic-orbit ATE
+    # still at the noise floor (0.046 vs 0.031 mm), but degrades sharply at
+    # LOW resolutions (7.4 mm vs 0.14 mm on the 120×160 loop — too few
+    # residuals) — opt in for VGA+, never for small frames.
     # The association gather is ~85% of an iteration and is O(source
     # points), so k=2 nearly halves the finest-level cost; the TARGET table
     # stays full resolution, so association precision is unchanged — only

@@ -341,7 +341,16 @@ def align_frames_packed(
             factor = int(lvl_sub[li])
         else:
             factor = int(getattr(cfg, "finest_subsample", 1)) if li == 0 else 1
-        src_cloud = subsample_source(src_f, factor)
+        if factor == 4 and li + 1 < levels:
+            # Stride-2-grid decimation of THIS level is relayout-bound on
+            # TPU ((H, W, 3) strided slices — measured 40% slower end to
+            # end); the next-coarser pyramid frame IS that decimated source,
+            # already materialized with a clean layout.  The target table
+            # stays at this level's full resolution, so association
+            # precision is unchanged — only source density drops.
+            src_cloud = src_pyr[li + 1].as_cloud()
+        else:
+            src_cloud = subsample_source(src_f, factor)
         h, w, _ = src_f.points.shape
         packed = dst_packed[li]
 
