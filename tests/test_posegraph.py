@@ -103,3 +103,70 @@ def test_optimize_is_jittable_no_nans():
     grad_fn = jax.grad(lambda p: graph_cost(graph._replace(poses=p), CFG))
     gr = grad_fn(graph.poses)
     assert np.all(np.isfinite(np.asarray(gr)))
+
+
+def test_cg_solver_matches_dense():
+    """The matrix-free block-CG path must agree with the dense Cholesky
+    solve on the same regularized system (to CG tolerance)."""
+    from tpuslam.backend.posegraph import optimize_pose_graph_cg
+
+    gt = ring_poses(12)
+    rng = np.random.default_rng(5)
+    cfg = PoseGraphConfig(max_nodes=16, max_edges=64, gn_iters=20,
+                          damping=1e-6)
+    g = GraphHost(cfg)
+    noisy = [gt[0]]
+    for k in range(11):
+        T_rel = np.linalg.inv(gt[k]) @ gt[k + 1]
+        pert = np.asarray(se3.exp(jnp.asarray(
+            rng.normal(scale=0.01, size=6).astype(np.float32))))
+        noisy.append(noisy[-1] @ T_rel @ pert)
+    for T in noisy:
+        g.add_node(T)
+    for k in range(11):
+        g.add_edge(k, k + 1, np.linalg.inv(noisy[k]) @ noisy[k + 1])
+    g.add_edge(0, 11, np.linalg.inv(gt[0]) @ gt[11], weight=2.0)
+    graph = g.graph()
+    p_dense, c_dense = optimize_pose_graph(graph, cfg)
+    p_cg, c_cg = optimize_pose_graph_cg(graph, cfg)
+    np.testing.assert_allclose(np.asarray(p_cg)[:12], np.asarray(p_dense)[:12],
+                               atol=5e-4)
+    assert abs(float(c_cg) - float(c_dense)) < 1e-3 * max(float(c_dense), 1.0)
+
+
+def test_cg_solver_scales_past_dense_capacity():
+    """CG handles a 1024-node chain+closures graph — a (6144)² dense system
+    the Cholesky path shouldn't even materialize — and straightens it."""
+    from tpuslam.backend.posegraph import optimize_pose_graph_cg
+
+    n = 1024
+    cfg = PoseGraphConfig(max_nodes=n, max_edges=2 * n, gn_iters=8,
+                          damping=1e-6)
+    gt = ring_poses(n, radius=5.0)
+    rng = np.random.default_rng(9)
+    g = GraphHost(cfg)
+    noisy = [gt[0]]
+    for k in range(n - 1):
+        T_rel = np.linalg.inv(gt[k]) @ gt[k + 1]
+        pert = np.asarray(se3.exp(jnp.asarray(
+            rng.normal(scale=0.002, size=6).astype(np.float32))))
+        noisy.append(noisy[-1] @ T_rel @ pert)
+    for T in noisy:
+        g.add_node(T)
+    for k in range(n - 1):
+        g.add_edge(k, k + 1, np.linalg.inv(noisy[k]) @ noisy[k + 1])
+    # a handful of exact long-range closures
+    for a, b in ((0, n - 1), (0, n // 2), (n // 4, 3 * n // 4)):
+        g.add_edge(a, b, np.linalg.inv(gt[a]) @ gt[b], weight=2.0)
+    graph = g.graph()
+
+    def endpoint_err(poses):
+        E = np.asarray(se3.relative(jnp.asarray(poses[n - 1]),
+                                    jnp.asarray(gt[n - 1])))
+        return np.linalg.norm(E[:3, 3])
+
+    err_before = endpoint_err(np.asarray(graph.poses))
+    poses, _ = optimize_pose_graph_cg(graph, cfg, cg_iters=256)
+    err_after = endpoint_err(np.asarray(poses))
+    assert np.all(np.isfinite(np.asarray(poses)))
+    assert err_after < 0.3 * err_before, (err_before, err_after)
