@@ -114,8 +114,11 @@ def _run_pipeline(args, use_slam: bool) -> int:
     logger = JsonlLogger(args.log_jsonl) if args.log_jsonl else None
     t_start = time.perf_counter()
     n_done = 0
-    for frame in seq.frames(depth_scale=cfg.depth_scale, start=start,
-                            stop=args.stop):
+    from tpuslam.frontend import prefetch_to_device
+
+    for frame in prefetch_to_device(
+            seq.frames(depth_scale=cfg.depth_scale, start=start,
+                       stop=args.stop)):
         t0 = time.perf_counter()
         system.process(frame.depth, frame.timestamp)
         ms = (time.perf_counter() - t0) * 1e3

@@ -29,7 +29,7 @@ Two interchangeable ring backends:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -180,18 +180,19 @@ def _ring_icp(frame: PointCloud, map_shard: PointCloud, T0,
     )
 
 
-def align_to_map_ring(frame: PointCloud, map_cloud: PointCloud,
-                      T0: jnp.ndarray, cfg: ICPConfig, mesh: Mesh,
-                      axis: str = SHARD_AXIS,
-                      backend: str = "xla") -> ICPResult:
-    """Frame-to-map ICP with BOTH clouds sharded over the mesh.
+@lru_cache(maxsize=32)
+def make_ring_align_fn(mesh: Mesh, cfg: ICPConfig, axis: str = SHARD_AXIS,
+                       backend: str = "xla"):
+    """Build (once per mesh/cfg/backend) the jitted ring-ICP callable.
 
-    Frame points stay put; map shards ring-rotate each iteration — map HBM
-    footprint per chip is M/D, yet correspondences are exact over the whole
-    map within `max_corr_dist`.
-
-    backend: "xla" (ppermute ring) or "pallas" (fused remote-DMA ring kernel
-    with compute/transfer overlap — kernels/pallas_ring.py)."""
+    Rebuilding the shard_map closure per call would make every call a
+    fresh jit cache entry — a silent recompile per tracked frame in the
+    sharded-map production path.  The returned callable pads its inputs
+    and runs the cached program; it ALSO returns a flat (20,) float32
+    scalar vector ([0:16]=T, [16]=converged, [17]=inlier_fraction,
+    [18]=num_inliers, [19]=rms) so latency-sensitive hosts can read every
+    gate in one transfer.
+    """
     if backend not in ("xla", "pallas"):
         raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
     n_dev = mesh.shape[axis]
@@ -200,16 +201,6 @@ def align_to_map_ring(frame: PointCloud, map_cloud: PointCloud,
     # backends reduce identically.
     map_mult = n_dev * 128 if backend == "pallas" else n_dev
     frame_mult = n_dev * 8 if backend == "pallas" else n_dev
-
-    def padc(c: PointCloud, mult: int) -> PointCloud:
-        return PointCloud(
-            points=pad_to_multiple(c.points, mult),
-            normals=pad_to_multiple(c.normals, mult),
-            mask=pad_to_multiple(c.mask, mult, fill=False),
-        )
-
-    frame_p = padc(frame, frame_mult)
-    map_p = padc(map_cloud, map_mult)
     interpret = jax.default_backend() != "tpu"
     specs = PointCloud(points=P(axis, None), normals=P(axis, None),
                        mask=P(axis))
@@ -225,6 +216,43 @@ def align_to_map_ring(frame: PointCloud, map_cloud: PointCloud,
 
     @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     def run(f, m, T):
-        return fn(f, m, T)
+        res = fn(f, m, T)
+        flat = jnp.concatenate([
+            res.T.reshape(16).astype(jnp.float32),
+            jnp.stack([
+                res.converged.astype(jnp.float32),
+                res.inlier_fraction.astype(jnp.float32),
+                res.num_inliers.astype(jnp.float32),
+                res.rms.astype(jnp.float32),
+            ]),
+        ])
+        return res, flat
 
-    return run(frame_p, map_p, T0)
+    def padc(c: PointCloud, mult: int) -> PointCloud:
+        return PointCloud(
+            points=pad_to_multiple(c.points, mult),
+            normals=pad_to_multiple(c.normals, mult),
+            mask=pad_to_multiple(c.mask, mult, fill=False),
+        )
+
+    def call(frame: PointCloud, map_cloud: PointCloud, T0):
+        return run(padc(frame, frame_mult), padc(map_cloud, map_mult), T0)
+
+    return call
+
+
+def align_to_map_ring(frame: PointCloud, map_cloud: PointCloud,
+                      T0: jnp.ndarray, cfg: ICPConfig, mesh: Mesh,
+                      axis: str = SHARD_AXIS,
+                      backend: str = "xla") -> ICPResult:
+    """Frame-to-map ICP with BOTH clouds sharded over the mesh.
+
+    Frame points stay put; map shards ring-rotate each iteration — map HBM
+    footprint per chip is M/D, yet correspondences are exact over the whole
+    map within `max_corr_dist`.
+
+    backend: "xla" (ppermute ring) or "pallas" (fused remote-DMA ring kernel
+    with compute/transfer overlap — kernels/pallas_ring.py)."""
+    res, _flat = make_ring_align_fn(mesh, cfg, axis, backend)(
+        frame, map_cloud, T0)
+    return res

@@ -128,6 +128,44 @@ def pack_pyramid_jit(pyr, cfg: SLAMConfig):
     return pack_pyramid(pyr, cfg.icp)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def process_frame_jit(depth, kf_packed: tuple, K: Intrinsics,
+                      T_kf_cam: jnp.ndarray, last_delta: jnp.ndarray,
+                      cfg: SLAMConfig):
+    """Fused warm-start + preprocess + track for the host-driven loop.
+
+    Each host↔device round trip on the remote-TPU tunnel costs ~25 ms —
+    10× the tracking compute — so the streaming loop must make exactly ONE
+    dispatch and ONE readback per frame.  Everything the host previously
+    did eagerly (constant-velocity warm start) or read back piecemeal
+    (pose, promote/lost flags, per-frame stats — six separate device
+    fetches ≈ 150 ms) is fused here: the chained state (pose, velocity)
+    stays on device, and every scalar the host needs comes back in one
+    flat (21,) vector:
+
+        [0:16] T_kf_cam (row-major), [16] promote, [17] lost,
+        [18] iters, [19] rms, [20] inlier_fraction.
+
+    Measured 3.7 → 28 fps for Odometry.process at 640×480 over the tunnel
+    (the jitted scan path is unaffected — one dispatch per sequence).
+    """
+    T0 = T_kf_cam @ damped_velocity(last_delta, cfg.cv_damping)
+    pyr = preprocess(depth, K, cfg)
+    out = track_step_packed(kf_packed, pyr, K, T0, cfg)
+    delta = se3.relative(T_kf_cam, out.T_kf_cam)
+    flat = jnp.concatenate([
+        out.T_kf_cam.reshape(16).astype(jnp.float32),
+        jnp.stack([
+            out.promote.astype(jnp.float32),
+            out.lost.astype(jnp.float32),
+            out.icp.iters.astype(jnp.float32),
+            out.icp.rms.astype(jnp.float32),
+            out.icp.inlier_fraction.astype(jnp.float32),
+        ]),
+    ])
+    return pyr, out.T_kf_cam, delta, flat
+
+
 def track_step(kf_pyr, cur_pyr, K: Intrinsics, T0: jnp.ndarray,
                cfg: SLAMConfig) -> TrackResult:
     """Track current frame against keyframe; decide promotion (pure/jittable)."""
@@ -139,6 +177,36 @@ def track_step(kf_pyr, cur_pyr, K: Intrinsics, T0: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg",))
 def track_step_jit(kf_pyr, cur_pyr, K, T0, cfg: SLAMConfig) -> TrackResult:
     return track_step(kf_pyr, cur_pyr, K, T0, cfg)
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "capacity", "origin",
+                                   "extent"))
+def _kf_cloud_jit(frame: Frame, voxel_size: float, capacity: int,
+                  origin: float, extent: float) -> PointCloud:
+    """Jitted keyframe-cloud extraction (eager voxel_downsample is ~15
+    dispatches — ruinous over the remote tunnel's ~25 ms round trips)."""
+    return voxel_downsample(frame.as_cloud(), voxel_size, capacity,
+                            origin, extent)
+
+
+def prefetch_to_device(frames, lookahead: int = 2):
+    """Re-yield a TumFrame stream with depth arrays device_put ahead.
+
+    Uploading 1.2 MB per 640×480 frame inside process() serializes the
+    transfer with the compute readback; putting `lookahead` frames ahead
+    lets the (async) transfer overlap the previous frame's execution.
+    `jnp.asarray` on an already-device array is a no-op, so consumers are
+    unchanged.
+    """
+    from collections import deque
+
+    pending: deque = deque()
+    for f in frames:
+        pending.append(f._replace(depth=jax.device_put(f.depth)))
+        if len(pending) >= max(1, lookahead):
+            yield pending.popleft()
+    while pending:
+        yield pending.popleft()
 
 
 class KeyframeRecord(NamedTuple):
@@ -174,10 +242,9 @@ class Odometry:
         self.last_pyr = None  # most recent preprocessed frame (map tracking)
 
     def _kf_cloud(self, pyr) -> PointCloud:
-        cloud = pyr[0].as_cloud()
-        return voxel_downsample(
-            cloud, self.cfg.voxel.voxel_size, self.cfg.voxel.capacity,
-            origin=self.cfg.voxel.origin, extent=self.cfg.voxel.extent,
+        return _kf_cloud_jit(
+            pyr[0], self.cfg.voxel.voxel_size, self.cfg.voxel.capacity,
+            self.cfg.voxel.origin, self.cfg.voxel.extent,
         )
 
     def _promote(self, pyr, timestamp: float) -> None:
@@ -195,26 +262,27 @@ class Odometry:
 
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
         """Feed one depth frame (H, W) metres; returns world←cam pose (4, 4)."""
-        pyr = preprocess_jit(jnp.asarray(depth), self.K, self.cfg)
-        self.last_pyr = pyr
         if self.kf_pyr is None:
+            pyr = preprocess_jit(jnp.asarray(depth), self.K, self.cfg)
+            self.last_pyr = pyr
             self._promote(pyr, timestamp)
             T_world_cam = self.T_world_kf
             self.stats.append({"iters": 0, "rms": 0.0, "inliers": 1.0,
                                "promoted": True})
             self.frame_refs.append((len(self.keyframes) - 1, np.eye(4)))
         else:
-            T0 = self.T_kf_cam @ damped_velocity(self.last_delta,
-                                                 self.cfg.cv_damping)
             if self.kf_packed is None:  # resumed from a checkpoint
                 self.kf_packed = pack_pyramid_jit(self.kf_pyr, self.cfg)
-            out = track_step_packed_jit(self.kf_packed, pyr, self.K, T0,
-                                        self.cfg)
-            T_rel = np.asarray(out.T_kf_cam)
-            self.last_delta = se3.relative(self.T_kf_cam, out.T_kf_cam)
-            self.T_kf_cam = out.T_kf_cam
+            pyr, T_new, delta, flat = process_frame_jit(
+                jnp.asarray(depth), self.kf_packed, self.K,
+                self.T_kf_cam, self.last_delta, self.cfg)
+            self.last_pyr = pyr
+            s = np.asarray(flat)     # the ONE host sync of the frame
+            T_rel = s[0:16].reshape(4, 4)
+            promoted = s[16] > 0.5
+            self.last_delta = delta  # device-resident; never read back
+            self.T_kf_cam = T_new
             T_world_cam = (self.T_world_kf @ T_rel).astype(np.float32)
-            promoted = bool(out.promote)
             if promoted:
                 self.T_world_kf = T_world_cam
                 self.T_kf_cam = jnp.eye(4)
@@ -224,11 +292,11 @@ class Odometry:
                 self.frame_refs.append((len(self.keyframes) - 1, T_rel))
             self.stats.append(
                 {
-                    "iters": int(out.icp.iters),
-                    "rms": float(out.icp.rms),
-                    "inliers": float(out.icp.inlier_fraction),
-                    "promoted": promoted,
-                    "lost": bool(out.lost),
+                    "iters": int(s[18]),
+                    "rms": float(s[19]),
+                    "inliers": float(s[20]),
+                    "promoted": bool(promoted),
+                    "lost": bool(s[17] > 0.5),
                 }
             )
         self.trajectory.append(np.asarray(T_world_cam, dtype=np.float64))

@@ -16,8 +16,10 @@ from __future__ import annotations
 
 import queue
 import threading
+from functools import partial
 from typing import Optional
 
+import jax
 import numpy as np
 
 from tpuslam.backend.loopclosure import find_closures
@@ -25,6 +27,37 @@ from tpuslam.backend.posegraph import GraphHost, optimize_pose_graph
 from tpuslam.config import Intrinsics, SLAMConfig
 from tpuslam.frontend import Odometry
 from tpuslam.mapping import VoxelMap
+
+
+def _flat_icp_scalars(res):
+    """(20,) float32: [0:16]=T row-major, [16]=converged,
+    [17]=inlier_fraction, [18]=num_inliers, [19]=rms — one readback."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([
+        res.T.reshape(16).astype(jnp.float32),
+        jnp.stack([
+            res.converged.astype(jnp.float32),
+            res.inlier_fraction.astype(jnp.float32),
+            res.num_inliers.astype(jnp.float32),
+            res.rms.astype(jnp.float32),
+        ]),
+    ])
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def _refine_projective_jit(map_cloud, frame, K, T0, cfg, use_pallas):
+    from tpuslam.icp import align_map_to_frame
+
+    return _flat_icp_scalars(
+        align_map_to_frame(map_cloud, frame, K, T0, cfg, use_pallas))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _refine_grid_jit(cloud, index, T0, cfg):
+    from tpuslam.icp import align_to_index
+
+    return _flat_icp_scalars(align_to_index(cloud, index, T0, cfg))
 
 
 class SlamSystem:
@@ -158,10 +191,12 @@ class SlamSystem:
 
     def _refine_against_map(self) -> None:
         """Frame-to-map refinement (BASELINE config 4): re-align the current
-        keyframe-relative estimate against the accumulated voxel map."""
-        import jax.numpy as jnp
+        keyframe-relative estimate against the accumulated voxel map.
 
-        from tpuslam.icp import align_map_to_frame_jit, align_to_index_jit
+        Every path reads its result as ONE flat scalar vector — the gates
+        below would otherwise cost five separate device round trips per
+        frame (~25 ms each over the remote-TPU tunnel)."""
+        import jax.numpy as jnp
 
         kf_id, T_rel = self.odo.frame_refs[-1]
         rec = self.odo.keyframes[kf_id]
@@ -171,17 +206,15 @@ class SlamSystem:
             rec.T_world_kf.astype(np.float32) @ T_rel.astype(np.float32)
         )
         if self.sharded_map:
-            from tpuslam.dist.ring_map import align_to_map_ring
+            from tpuslam.dist.ring_map import make_ring_align_fn
 
             cloud = self.odo._kf_cloud(self.odo.last_pyr)  # current frame, cam
-            res = align_to_map_ring(
-                cloud, self.map.cloud_shards, T0, self.cfg.icp,
-                self._map_mesh,
-            )
+            _res, flat = make_ring_align_fn(self._map_mesh, self.cfg.icp)(
+                cloud, self.map.cloud_shards, T0)
         elif self.map_track_mode == "projective":
-            res = align_map_to_frame_jit(
+            flat = _refine_projective_jit(
                 self.map.cloud, self.odo.last_pyr[0], self.odo.K, T0,
-                self.cfg.icp, use_pallas=self.cfg.use_pallas,
+                self.cfg.icp, self.cfg.use_pallas,
             )
         else:
             if self._map_index is None:
@@ -189,20 +222,21 @@ class SlamSystem:
                     cell=float(self.cfg.icp.max_corr_dist)
                 )
             cloud = self.odo._kf_cloud(self.odo.last_pyr)  # current frame, cam
-            res = align_to_index_jit(cloud, self._map_index, T0, self.cfg.icp)
+            flat = _refine_grid_jit(cloud, self._map_index, T0, self.cfg.icp)
+        s = np.asarray(flat)         # the one host sync
+        T_est = s[0:16].reshape(4, 4)
         ok = (
-            bool(res.converged)
-            and float(res.inlier_fraction) > 0.3
-            and float(res.num_inliers) > 300.0
-            and np.all(np.isfinite(np.asarray(res.T)))
+            bool(s[16] > 0.5)
+            and float(s[17]) > 0.3
+            and float(s[18]) > 300.0
+            and np.all(np.isfinite(T_est))
         )
         self.map_refine_stats.append(
-            {"ok": ok, "rms": float(res.rms),
-             "inliers": float(res.inlier_fraction)}
+            {"ok": ok, "rms": float(s[19]), "inliers": float(s[17])}
         )
         if not ok:
             return
-        T_world_cam = np.asarray(res.T, dtype=np.float64)
+        T_world_cam = T_est.astype(np.float64)
         # push the correction into the frontend's keyframe-relative state
         T_rel_new = (
             np.linalg.inv(rec.T_world_kf.astype(np.float64)) @ T_world_cam
