@@ -170,3 +170,20 @@ def test_cg_solver_scales_past_dense_capacity():
     err_after = endpoint_err(np.asarray(poses))
     assert np.all(np.isfinite(np.asarray(poses)))
     assert err_after < 0.3 * err_before, (err_before, err_after)
+
+
+def test_solver_dispatch():
+    """PoseGraphConfig.solver routes the system-level optimize() call."""
+    from tpuslam.backend.posegraph import optimize
+
+    gt = ring_poses(8)
+    for solver in ("dense", "cg"):
+        cfg = PoseGraphConfig(max_nodes=16, max_edges=64, gn_iters=10,
+                              damping=1e-6, solver=solver)
+        g = GraphHost(cfg)
+        for T in gt:
+            g.add_node(T)
+        for k in range(7):
+            g.add_edge(k, k + 1, np.linalg.inv(gt[k]) @ gt[k + 1])
+        poses, cost = optimize(g.graph(), cfg)
+        assert float(cost) < 1e-6, (solver, float(cost))

@@ -332,6 +332,17 @@ def optimize_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig,
     return poses, cost
 
 
+def optimize(graph: PoseGraph, cfg: PoseGraphConfig,
+             huber_delta: float = 0.5):
+    """Solver-dispatching entry point: cfg.solver ∈ {"dense", "cg"}."""
+    if getattr(cfg, "solver", "dense") == "cg":
+        return optimize_pose_graph_cg(
+            graph, cfg, huber_delta,
+            cg_iters=int(getattr(cfg, "cg_iters", 128)),
+            cg_tol=float(getattr(cfg, "cg_tol", 1e-6)))
+    return optimize_pose_graph(graph, cfg, huber_delta)
+
+
 def graph_cost(graph: PoseGraph, cfg: PoseGraphConfig) -> jnp.ndarray:
     """Unweighted total squared residual (diagnostics)."""
     T_i = graph.poses[graph.edge_i]

@@ -175,6 +175,13 @@ class PoseGraphConfig:
     max_edges: int = 1024
     gn_iters: int = 20
     damping: float = 1e-4
+    # GN inner solver: "dense" Cholesky on the (6N, 6N) system (fastest for
+    # N ≤ a few hundred) or "cg" — matrix-free block-Jacobi-preconditioned
+    # conjugate gradient over the edge blocks (O(E)/iteration, no (6N)²
+    # materialization; use for long trajectories).
+    solver: str = "dense"
+    cg_iters: int = 128
+    cg_tol: float = 1e-6
     rot_weight: float = 100.0            # information weight on rotation part
     trans_weight: float = 100.0
     # loop closure proposal

@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from tpuslam.backend.loopclosure import find_closures
-from tpuslam.backend.posegraph import GraphHost, optimize_pose_graph
+from tpuslam.backend.posegraph import GraphHost, optimize
 from tpuslam.config import Intrinsics, SLAMConfig
 from tpuslam.frontend import Odometry
 from tpuslam.mapping import VoxelMap
@@ -270,7 +270,7 @@ class SlamSystem:
 
     def _optimize(self) -> None:
         graph = self.graph.graph()
-        poses, _cost = optimize_pose_graph(graph, self.cfg.posegraph)
+        poses, _cost = optimize(graph, self.cfg.posegraph)
         poses = np.asarray(poses, dtype=np.float32)
         self.graph.set_poses(poses)
         # re-anchor the frontend on the corrected keyframe pose
