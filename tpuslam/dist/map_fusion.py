@@ -87,7 +87,6 @@ def _bucket_by_owner(pts, nrm, valid, owner, n_dev: int, bucket_cap: int):
          nrm[:, 0], nrm[:, 1], nrm[:, 2]),
         num_keys=1,
     )
-    so = sort_ops[0]
     rows = jnp.stack(sort_ops[1:7], axis=-1)          # (N, 6) owner-sorted
     counts = jnp.bincount(jnp.minimum(o, n_dev), length=n_dev + 1)[:n_dev]
     starts = jnp.cumsum(counts) - counts               # exclusive prefix sum
@@ -100,7 +99,6 @@ def _bucket_by_owner(pts, nrm, valid, owner, n_dev: int, bucket_cap: int):
     bucket = jnp.concatenate(
         [bucket, w.reshape(-1, 1).astype(pts.dtype)], axis=-1)
     dropped = jnp.sum(counts - take)
-    del so
     return bucket, dropped, jnp.sum(take)
 
 
