@@ -139,20 +139,8 @@ def edge_normal_system(poses, edge_i, edge_j, edge_T, edge_weight,
     Returns (H (6N, 6N), b (6N,), cost ()).
     """
     N = poses.shape[0]
-    T_i = poses[edge_i]
-    T_j = poses[edge_j]
-    r, Ji, Jj = jax.vmap(_edge_residual_jacobians)(T_i, T_j, edge_T)
-    # per-edge robust weight on the information-weighted residual norm
-    wr2 = jnp.einsum("ek,k,ek->e", r, info, r)
-    w = edge_weight * _huber_scale(wr2, huber_delta)
-    # weighted blocks
-    Wi = Ji * (w[:, None, None] * info[None, :, None])   # Λ·J scaled
-    Wj = Jj * (w[:, None, None] * info[None, :, None])
-    Hii = jnp.einsum("eki,ekj->eij", Wi, Ji)
-    Hjj = jnp.einsum("eki,ekj->eij", Wj, Jj)
-    Hij = jnp.einsum("eki,ekj->eij", Wi, Jj)
-    bi = jnp.einsum("eki,ek->ei", Wi, r)
-    bj = jnp.einsum("eki,ek->ei", Wj, r)
+    Hii, Hjj, Hij, bi, bj, cost = edge_blocks(
+        poses, edge_i, edge_j, edge_T, edge_weight, info, huber_delta)
 
     Hb = jnp.zeros((N, N, 6, 6), dtype=poses.dtype)
     Hb = Hb.at[edge_i, edge_i].add(Hii)
@@ -164,7 +152,7 @@ def edge_normal_system(poses, edge_i, edge_j, edge_T, edge_weight,
     b = b.at[edge_j].add(bj)
 
     H = jnp.transpose(Hb, (0, 2, 1, 3)).reshape(6 * N, 6 * N)
-    return H, b.reshape(6 * N), jnp.sum(w * wr2)
+    return H, b.reshape(6 * N), cost
 
 
 def solve_and_update(poses, node_mask, H, b, cfg: PoseGraphConfig):

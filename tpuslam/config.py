@@ -215,6 +215,12 @@ class SLAMConfig:
     # loop: γ=1 diverges to metres, γ≤0.5 tracks exactly).
     cv_damping: float = 0.5
     use_pallas: bool = True              # Pallas kernels vs pure-jnp oracle
+    # Minimum ABSOLUTE matched-point count for a frame-to-map refinement to
+    # be accepted (on top of the 0.3 inlier-fraction gate).  Scale it with
+    # frame resolution / map density: 300 suits VGA frames with the default
+    # map capacity; small frames or sparse maps need less or refinement
+    # silently never fires.
+    map_refine_min_inliers: int = 300
     dtype: str = "float32"
 
     def replace(self, **kw) -> "SLAMConfig":

@@ -188,9 +188,8 @@ def make_ring_align_fn(mesh: Mesh, cfg: ICPConfig, axis: str = SHARD_AXIS,
     Rebuilding the shard_map closure per call would make every call a
     fresh jit cache entry — a silent recompile per tracked frame in the
     sharded-map production path.  The returned callable pads its inputs
-    and runs the cached program; it ALSO returns a flat (20,) float32
-    scalar vector ([0:16]=T, [16]=converged, [17]=inlier_fraction,
-    [18]=num_inliers, [19]=rms) so latency-sensitive hosts can read every
+    and runs the cached program; it ALSO returns the flat icp-scalar vector
+    (layout: tpuslam.icp.FlatICP) so latency-sensitive hosts can read every
     gate in one transfer.
     """
     if backend not in ("xla", "pallas"):
@@ -216,17 +215,10 @@ def make_ring_align_fn(mesh: Mesh, cfg: ICPConfig, axis: str = SHARD_AXIS,
 
     @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     def run(f, m, T):
+        from tpuslam.icp import flat_icp_scalars
+
         res = fn(f, m, T)
-        flat = jnp.concatenate([
-            res.T.reshape(16).astype(jnp.float32),
-            jnp.stack([
-                res.converged.astype(jnp.float32),
-                res.inlier_fraction.astype(jnp.float32),
-                res.num_inliers.astype(jnp.float32),
-                res.rms.astype(jnp.float32),
-            ]),
-        ])
-        return res, flat
+        return res, flat_icp_scalars(res)
 
     def padc(c: PointCloud, mult: int) -> PointCloud:
         return PointCloud(

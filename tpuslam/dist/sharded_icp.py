@@ -26,7 +26,7 @@ from tpuslam.config import ICPConfig, Intrinsics
 from tpuslam.dist.mesh import SHARD_AXIS, pad_to_multiple
 from tpuslam.geom import se3
 from tpuslam.geom.cloud import PointCloud
-from tpuslam.icp import Frame, ICPResult, _CarryState, subsample_source
+from tpuslam.icp import Frame, ICPResult, _CarryState, select_level_source
 from tpuslam.kernels.correspond import (
     pack_organized_target,
     projective_correspond_packed,
@@ -36,14 +36,17 @@ from tpuslam.kernels.gn_reduce import gn_reduce, solve_gn_step
 
 def _icp_level_spmd(src_cloud: PointCloud, dst_f: Frame, K_l: Intrinsics,
                     T0: jnp.ndarray, cfg: ICPConfig, max_iters: int,
-                    axis: str) -> ICPResult:
+                    axis: str, inner_steps: int | None = None,
+                    tol_delta: float | None = None) -> ICPResult:
     """One pyramid level, executing on a point shard inside shard_map."""
     h, w = dst_f.mask.shape
     packed = pack_organized_target(
         dst_f.points, dst_f.normals, dst_f.mask,
         dtype=jnp.dtype(getattr(cfg, "packed_dtype", "float32")),
     )
-    inner = max(1, int(getattr(cfg, "inner_steps", 1)))
+    inner = max(1, int(inner_steps if inner_steps is not None
+                       else getattr(cfg, "inner_steps", 1)))
+    tol = float(tol_delta) if tol_delta is not None else cfg.tol_delta
 
     def body(state: _CarryState) -> _CarryState:
         x = se3.transform_points(state.T, src_cloud.points)
@@ -80,7 +83,7 @@ def _icp_level_spmd(src_cloud: PointCloud, dst_f: Frame, K_l: Intrinsics,
         )
 
     def cond(state: _CarryState):
-        return (state.it < max_iters) & (state.delta_sq > cfg.tol_delta ** 2)
+        return (state.it < max_iters) & (state.delta_sq > tol ** 2)
 
     init = _CarryState(
         T=T0,
@@ -97,7 +100,7 @@ def _icp_level_spmd(src_cloud: PointCloud, dst_f: Frame, K_l: Intrinsics,
         iters=out.it,
         rms=out.rms,
         inlier_fraction=out.inlier_fraction,
-        converged=out.delta_sq <= cfg.tol_delta ** 2,
+        converged=out.delta_sq <= tol ** 2,
         H=out.H,
         num_inliers=out.num_inliers,
     )
@@ -116,16 +119,11 @@ def align_frames_spmd(src_pyr, dst_pyr, K: Intrinsics, T0: jnp.ndarray,
     T = T0
     result = None
     for li in range(levels - 1, -1, -1):
-        src_f: Frame = src_pyr[li]
         dst_f: Frame = dst_pyr[li]
         K_l = K.scaled(1.0 / (2 ** li))
-        # mirror the single-device finest-level source decimation so the
+        # mirror the single-device per-level source decimation so the
         # SPMD reduction stays bit-comparable to tpuslam.icp.align_frames
-        if li == 0:
-            cloud = subsample_source(
-                src_f, int(getattr(cfg, "finest_subsample", 1)))
-        else:
-            cloud = src_f.as_cloud()
+        cloud = select_level_source(src_pyr, li, cfg)
         cloud = PointCloud(
             points=pad_to_multiple(cloud.points, n_dev),
             normals=pad_to_multiple(cloud.normals, n_dev),
@@ -135,6 +133,10 @@ def align_frames_spmd(src_pyr, dst_pyr, K: Intrinsics, T0: jnp.ndarray,
             cfg.iters_per_level[li]
             if li < len(cfg.iters_per_level) else cfg.max_iters
         )
+        ipl = getattr(cfg, "inner_steps_per_level", None)
+        inner = ipl[li] if ipl is not None and li < len(ipl) else None
+        tpl = getattr(cfg, "tol_delta_per_level", None)
+        tol = tpl[li] if tpl is not None and li < len(tpl) else None
 
         cloud_specs = PointCloud(
             points=P(axis, None), normals=P(axis, None), mask=P(axis)
@@ -142,7 +144,8 @@ def align_frames_spmd(src_pyr, dst_pyr, K: Intrinsics, T0: jnp.ndarray,
         frame_specs = Frame(points=P(), normals=P(), mask=P())
 
         level_fn = shard_map(
-            partial(_icp_level_spmd, cfg=cfg, max_iters=iters, axis=axis),
+            partial(_icp_level_spmd, cfg=cfg, max_iters=iters, axis=axis,
+                    inner_steps=inner, tol_delta=tol),
             mesh=mesh,
             in_specs=(cloud_specs, frame_specs, P(), P()),
             out_specs=ICPResult(

@@ -42,7 +42,6 @@ from tpuslam.icp import (
     ICPResult,
     align_frames,
     align_frames_packed,
-    build_pyramid,
     pack_pyramid,
 )
 
@@ -128,6 +127,19 @@ def pack_pyramid_jit(pyr, cfg: SLAMConfig):
     return pack_pyramid(pyr, cfg.icp)
 
 
+class FlatTrack:
+    """Index map of process_frame_jit's flat scalar vector (single-readback
+    protocol for the streaming loop — NOT the same layout as icp.FlatICP)."""
+
+    T = slice(0, 16)          # T_kf_cam, row-major
+    PROMOTE = 16
+    LOST = 17
+    ITERS = 18
+    RMS = 19
+    INLIER_FRACTION = 20
+    SIZE = 21
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def process_frame_jit(depth, kf_packed: tuple, K: Intrinsics,
                       T_kf_cam: jnp.ndarray, last_delta: jnp.ndarray,
@@ -141,12 +153,9 @@ def process_frame_jit(depth, kf_packed: tuple, K: Intrinsics,
     (pose, promote/lost flags, per-frame stats — six separate device
     fetches ≈ 150 ms) is fused here: the chained state (pose, velocity)
     stays on device, and every scalar the host needs comes back in one
-    flat (21,) vector:
+    flat (FlatTrack.SIZE,) vector indexed through FlatTrack.
 
-        [0:16] T_kf_cam (row-major), [16] promote, [17] lost,
-        [18] iters, [19] rms, [20] inlier_fraction.
-
-    Measured 3.7 → 28 fps for Odometry.process at 640×480 over the tunnel
+    Measured 3.7 → 16.5 fps for Odometry.process at 640×480 over the tunnel
     (the jitted scan path is unaffected — one dispatch per sequence).
     """
     T0 = T_kf_cam @ damped_velocity(last_delta, cfg.cv_damping)
@@ -278,8 +287,8 @@ class Odometry:
                 self.T_kf_cam, self.last_delta, self.cfg)
             self.last_pyr = pyr
             s = np.asarray(flat)     # the ONE host sync of the frame
-            T_rel = s[0:16].reshape(4, 4)
-            promoted = s[16] > 0.5
+            T_rel = s[FlatTrack.T].reshape(4, 4)
+            promoted = s[FlatTrack.PROMOTE] > 0.5
             self.last_delta = delta  # device-resident; never read back
             self.T_kf_cam = T_new
             T_world_cam = (self.T_world_kf @ T_rel).astype(np.float32)
@@ -292,11 +301,11 @@ class Odometry:
                 self.frame_refs.append((len(self.keyframes) - 1, T_rel))
             self.stats.append(
                 {
-                    "iters": int(s[18]),
-                    "rms": float(s[19]),
-                    "inliers": float(s[20]),
+                    "iters": int(s[FlatTrack.ITERS]),
+                    "rms": float(s[FlatTrack.RMS]),
+                    "inliers": float(s[FlatTrack.INLIER_FRACTION]),
                     "promoted": bool(promoted),
-                    "lost": bool(s[17] > 0.5),
+                    "lost": bool(s[FlatTrack.LOST] > 0.5),
                 }
             )
         self.trajectory.append(np.asarray(T_world_cam, dtype=np.float64))

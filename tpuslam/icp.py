@@ -47,6 +47,35 @@ class ICPResult(NamedTuple):
     #                              fraction-in-view is not meaningful)
 
 
+class FlatICP:
+    """Index map of `flat_icp_scalars` — the single-readback protocol.
+
+    Host↔device round trips cost up to ~25 ms on the remote-TPU tunnel, so
+    latency-sensitive hosts read an ICPResult's scalars as ONE (20,) f32
+    vector.  Consumers must index through these names, never literals (the
+    tracking loop has a DIFFERENT layout — frontend.FlatTrack)."""
+
+    T = slice(0, 16)          # (4, 4) row-major
+    CONVERGED = 16
+    INLIER_FRACTION = 17
+    NUM_INLIERS = 18
+    RMS = 19
+    SIZE = 20
+
+
+def flat_icp_scalars(res: "ICPResult") -> jnp.ndarray:
+    """Pack an ICPResult's scalars per the FlatICP layout (traceable)."""
+    return jnp.concatenate([
+        res.T.reshape(16).astype(jnp.float32),
+        jnp.stack([
+            res.converged.astype(jnp.float32),
+            res.inlier_fraction.astype(jnp.float32),
+            res.num_inliers.astype(jnp.float32),
+            res.rms.astype(jnp.float32),
+        ]),
+    ])
+
+
 class _CarryState(NamedTuple):
     T: jnp.ndarray
     it: jnp.ndarray
@@ -292,6 +321,29 @@ def subsample_source(frame: Frame, factor: int) -> PointCloud:
     raise ValueError(f"finest_subsample must be 1, 2 or 4; got {factor}")
 
 
+def select_level_source(src_pyr, li: int, cfg: ICPConfig) -> PointCloud:
+    """Per-level SOURCE cloud under the decimation knobs.
+
+    Shared by the single-device (`align_frames_packed`) and point-sharded
+    SPMD (`dist/sharded_icp.py`) drivers so their residual sets stay
+    identical.  factor 4 uses the next-coarser pyramid frame as the source
+    when one exists: stride-2-grid decimation of THIS level is
+    relayout-bound on TPU ((H, W, 3) strided slices — measured 40% slower
+    end to end), and the coarser frame IS that decimated source, already
+    materialized with a clean layout.  The target table stays at this
+    level's full resolution either way, so association precision is
+    unchanged — only source density drops.
+    """
+    lvl_sub = getattr(cfg, "level_subsample", None)
+    if lvl_sub is not None and li < len(lvl_sub):
+        factor = int(lvl_sub[li])
+    else:
+        factor = int(getattr(cfg, "finest_subsample", 1)) if li == 0 else 1
+    if factor == 4 and li + 1 < len(src_pyr):
+        return src_pyr[li + 1].as_cloud()
+    return subsample_source(src_pyr[li], factor)
+
+
 def build_pyramid(frame: Frame, levels: int):
     """[finest, ..., coarsest] stride-2 pyramid."""
     pyr = [frame]
@@ -331,28 +383,23 @@ def align_frames_packed(
     share the pyramid shapes).
     """
     levels = len(src_pyr)
-    lvl_sub = getattr(cfg, "level_subsample", None)
     T = T0
     result = None
     for li in range(levels - 1, -1, -1):  # coarsest → finest
         src_f: Frame = src_pyr[li]
         K_l = K.scaled(1.0 / (2 ** li))
-        if lvl_sub is not None and li < len(lvl_sub):
-            factor = int(lvl_sub[li])
-        else:
-            factor = int(getattr(cfg, "finest_subsample", 1)) if li == 0 else 1
-        if factor == 4 and li + 1 < levels:
-            # Stride-2-grid decimation of THIS level is relayout-bound on
-            # TPU ((H, W, 3) strided slices — measured 40% slower end to
-            # end); the next-coarser pyramid frame IS that decimated source,
-            # already materialized with a clean layout.  The target table
-            # stays at this level's full resolution, so association
-            # precision is unchanged — only source density drops.
-            src_cloud = src_pyr[li + 1].as_cloud()
-        else:
-            src_cloud = subsample_source(src_f, factor)
+        src_cloud = select_level_source(src_pyr, li, cfg)
         h, w, _ = src_f.points.shape
         packed = dst_packed[li]
+        # The target's image geometry is taken from the source frame — the
+        # projective row index is v·w + u, so a differently-shaped target
+        # table would be read at WRONG pixels without any runtime error.
+        # Shapes are static: fail at trace time instead.
+        if packed.shape[0] != h * w:
+            raise ValueError(
+                f"level {li}: target table has {packed.shape[0]} rows but "
+                f"source frame is {h}×{w} — align_frames_packed requires "
+                f"both sides of the pair to share pyramid shapes")
 
         def correspond(x, mask, n_rot, packed=packed, h=h, w=w, K_l=K_l):
             return projective_correspond_packed(

@@ -29,35 +29,19 @@ from tpuslam.frontend import Odometry
 from tpuslam.mapping import VoxelMap
 
 
-def _flat_icp_scalars(res):
-    """(20,) float32: [0:16]=T row-major, [16]=converged,
-    [17]=inlier_fraction, [18]=num_inliers, [19]=rms — one readback."""
-    import jax.numpy as jnp
-
-    return jnp.concatenate([
-        res.T.reshape(16).astype(jnp.float32),
-        jnp.stack([
-            res.converged.astype(jnp.float32),
-            res.inlier_fraction.astype(jnp.float32),
-            res.num_inliers.astype(jnp.float32),
-            res.rms.astype(jnp.float32),
-        ]),
-    ])
-
-
 @partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def _refine_projective_jit(map_cloud, frame, K, T0, cfg, use_pallas):
-    from tpuslam.icp import align_map_to_frame
+    from tpuslam.icp import align_map_to_frame, flat_icp_scalars
 
-    return _flat_icp_scalars(
+    return flat_icp_scalars(
         align_map_to_frame(map_cloud, frame, K, T0, cfg, use_pallas))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _refine_grid_jit(cloud, index, T0, cfg):
-    from tpuslam.icp import align_to_index
+    from tpuslam.icp import align_to_index, flat_icp_scalars
 
-    return _flat_icp_scalars(align_to_index(cloud, index, T0, cfg))
+    return flat_icp_scalars(align_to_index(cloud, index, T0, cfg))
 
 
 class SlamSystem:
@@ -115,6 +99,10 @@ class SlamSystem:
         # loss gap.
         self.enable_relocalization = enable_relocalization
         self.reloc_after = reloc_after
+        # exponential backoff on FAILED attempts: each costs up to
+        # max_candidates × 2 full ICP alignments, which would otherwise be
+        # paid on every frame while the camera stares at unmapped space
+        self._reloc_backoff = reloc_after
         self._lost_streak = 0
         self._pending_reloc_edges: dict[int, tuple[int, np.ndarray]] = {}
         self.relocalizations: list = []
@@ -223,16 +211,20 @@ class SlamSystem:
                 )
             cloud = self.odo._kf_cloud(self.odo.last_pyr)  # current frame, cam
             flat = _refine_grid_jit(cloud, self._map_index, T0, self.cfg.icp)
+        from tpuslam.icp import FlatICP
+
         s = np.asarray(flat)         # the one host sync
-        T_est = s[0:16].reshape(4, 4)
+        T_est = s[FlatICP.T].reshape(4, 4)
         ok = (
-            bool(s[16] > 0.5)
-            and float(s[17]) > 0.3
-            and float(s[18]) > 300.0
+            bool(s[FlatICP.CONVERGED] > 0.5)
+            and float(s[FlatICP.INLIER_FRACTION]) > 0.3
+            and float(s[FlatICP.NUM_INLIERS]) >= float(
+                getattr(self.cfg, "map_refine_min_inliers", 300))
             and np.all(np.isfinite(T_est))
         )
         self.map_refine_stats.append(
-            {"ok": ok, "rms": float(s[19]), "inliers": float(s[17])}
+            {"ok": ok, "rms": float(s[FlatICP.RMS]),
+             "inliers": float(s[FlatICP.INLIER_FRACTION])}
         )
         if not ok:
             return
@@ -340,20 +332,27 @@ class SlamSystem:
                 self.odo.keyframes[idx] = rec._replace(T_world_kf=poses[idx])
         return True
 
-    def _attempt_relocalization(self) -> bool:
+    def _attempt_relocalization(self) -> Optional[bool]:
         """Re-anchor the current (lost) frame on a stored keyframe.
 
         Called under self._lock.  On success the current frame is promoted
         to a keyframe at the verified pose and queued to join the graph via
-        a reloc edge to its anchor (see _sync_graph_with_keyframes)."""
+        a reloc edge to its anchor (see _sync_graph_with_keyframes).
+
+        Returns True on success, False on a genuine failed attempt (counts
+        toward the retry backoff), None when the frame itself has too few
+        valid points to verify anything (occlusion/garbage — skip cheaply
+        and retry as soon as real data arrives)."""
         import jax.numpy as jnp
 
         from tpuslam.backend.relocalize import relocalize
 
         odo = self.odo
         if odo.last_pyr is None or not odo.keyframes:
-            return False
+            return None
         frame_cloud = odo._kf_cloud(odo.last_pyr)
+        if int(frame_cloud.count()) < 100:
+            return None
         kf_id, T_rel = odo.frame_refs[-1]
         T_last = odo.keyframes[kf_id].T_world_kf.astype(np.float64) @ T_rel
         r = relocalize(frame_cloud, odo.keyframes, T_last,
@@ -383,11 +382,21 @@ class SlamSystem:
             if self.odo.stats[-1].get("lost"):
                 self._lost_streak += 1
                 if (self.enable_relocalization
-                        and self._lost_streak >= self.reloc_after
-                        and self._attempt_relocalization()):
-                    self._lost_streak = 0
+                        and self._lost_streak >= self._reloc_backoff):
+                    r = self._attempt_relocalization()
+                    if r is True:
+                        self._lost_streak = 0
+                        self._reloc_backoff = self.reloc_after
+                    elif r is False:
+                        # genuine miss (unmapped space): back off so we
+                        # don't pay 8 ICP alignments on every lost frame
+                        self._lost_streak = 0
+                        self._reloc_backoff = min(2 * self._reloc_backoff, 64)
+                    # r is None: frame had no usable data — keep the streak
+                    # so the first real frame retries immediately
             else:
                 self._lost_streak = 0
+                self._reloc_backoff = self.reloc_after
             new_kf = self._sync_graph_with_keyframes()
         if new_kf:
             if self.async_backend:
