@@ -157,6 +157,7 @@ def write_tum_sequence(
     noise: float = 0.0,
     fps: float = 30.0,
     rgb: bool = False,
+    poses: np.ndarray | None = None,
 ) -> np.ndarray:
     """Write a synthetic TUM-format sequence (depth PNGs + depth.txt +
     groundtruth.txt; optionally rgb PNGs + rgb.txt) to `root`; returns the
@@ -177,7 +178,9 @@ def write_tum_sequence(
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
     if rgb:
         os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
-    poses = orbit_trajectory(num_frames)
+    if poses is None:
+        poses = orbit_trajectory(num_frames)
+    assert poses.shape[0] == num_frames
     scene = default_scene()
     depth_lines = ["# depth maps", "# timestamp filename"]
     rgb_lines = ["# color images", "# timestamp filename"]
@@ -208,11 +211,37 @@ def write_tum_sequence(
         )
     with open(os.path.join(root, "depth.txt"), "w") as f:
         f.write("\n".join(depth_lines) + "\n")
+    # record the render camera so loaders don't fall back to guessing
+    # VGA Freiburg intrinsics for a non-VGA synthetic sequence
+    with open(os.path.join(root, "intrinsics.txt"), "w") as f:
+        f.write("# fx fy cx cy\n")
+        f.write(f"{K.fx:.6f} {K.fy:.6f} {K.cx:.6f} {K.cy:.6f}\n")
     if rgb:
         with open(os.path.join(root, "rgb.txt"), "w") as f:
             f.write("\n".join(rgb_lines) + "\n")
     with open(os.path.join(root, "groundtruth.txt"), "w") as f:
         f.write("\n".join(gt_lines) + "\n")
+    return poses
+
+
+def loop_trajectory(num_frames: int, cycles: int = 1,
+                    radius: float = 0.18) -> np.ndarray:
+    """Camera walks `cycles` laps around a small loop and returns to the
+    start each lap (world←cam poses, (F, 4, 4) f64).  The long-office-style
+    fixture: repeated revisits exercise loop closure, keyframe
+    sparsification, and pose-graph growth at BASELINE config-5 scale."""
+    from scipy.spatial.transform import Rotation
+
+    poses = np.zeros((num_frames, 4, 4))
+    for i in range(num_frames):
+        s = cycles * i / num_frames
+        a = 2 * np.pi * s
+        t = np.array([radius * np.sin(a), 0.05 * np.sin(2 * a),
+                      0.10 * (1 - np.cos(a))])
+        rot = Rotation.from_euler("yx", [0.15 * np.sin(a), 0.06 * np.sin(a)])
+        poses[i, :3, :3] = rot.as_matrix()
+        poses[i, :3, 3] = t
+        poses[i, 3, 3] = 1.0
     return poses
 
 

@@ -115,6 +115,24 @@ def intrinsics_for_sequence(name: str) -> Intrinsics:
     return Intrinsics.tum_default()
 
 
+def read_intrinsics_file(path: str) -> Intrinsics:
+    """Parse an `intrinsics.txt` (one line: fx fy cx cy; # comments).
+
+    Real TUM downloads carry no calibration file (intrinsics are implied by
+    the freiburg1/2/3 sequence name), but synthetic fixtures and non-TUM
+    captures are not VGA-Freiburg-shaped — guessing tum_default() for a
+    160×120 synthetic sequence silently corrupts the camera model (this was
+    an 18× ATE regression on the CLI path before the file existed)."""
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            fx, fy, cx, cy = (float(v) for v in line.split()[:4])
+            return Intrinsics(fx, fy, cx, cy)
+    raise ValueError(f"no intrinsics line in {path}")
+
+
 def _decode_rgb_png(path: str) -> np.ndarray:
     """8-bit color PNG -> (H, W, 3) uint8 RGB."""
     try:
@@ -165,7 +183,10 @@ class TumSequence:
                  load_rgb: bool = False):
         self.root = root
         self.name = os.path.basename(os.path.normpath(root))
-        self.intrinsics = intrinsics_for_sequence(self.name)
+        calib = os.path.join(root, "intrinsics.txt")
+        self.intrinsics = (read_intrinsics_file(calib)
+                           if os.path.exists(calib)
+                           else intrinsics_for_sequence(self.name))
         self.depth_list = read_file_list(os.path.join(root, "depth.txt"))
         gt_path = os.path.join(root, "groundtruth.txt")
         self.groundtruth = read_file_list(gt_path) if os.path.exists(gt_path) else None
