@@ -47,20 +47,28 @@ def propose_candidates(
     Returns closest-first, at most `max_candidates` (ICP verification is the
     expensive step — don't flood it)."""
     exclude_pairs = exclude_pairs or set()
-    pos = np.asarray([T[:3, 3] for T in kf_poses])
+    pos = np.asarray([T[:3, 3] for T in kf_poses], dtype=np.float32)
     k = len(pos)
     cands: list[ClosureCandidate] = []
     if k < 2:
         return cands
+    # Fully vectorized proposal — no Python pair loop (a K² scan at
+    # thousands of keyframes).  Eligible pairs: i < j − lc_min_gap and
+    # within the proximity radius.
     d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
-    for j in range(k):
-        for i in range(0, j - cfg.lc_min_gap):
-            if (i, j) in exclude_pairs:
-                continue
-            if d[i, j] < cfg.lc_max_dist:
-                cands.append(ClosureCandidate(i=i, j=j, dist=float(d[i, j])))
-    cands.sort(key=lambda c: c.dist)
-    return cands[:max_candidates]
+    ii, jj = np.nonzero(
+        (d < cfg.lc_max_dist)
+        & (np.arange(k)[None, :] - np.arange(k)[:, None] > cfg.lc_min_gap)
+    )
+    order = np.argsort(d[ii, jj], kind="stable")
+    for o in order:
+        i, j = int(ii[o]), int(jj[o])
+        if (i, j) in exclude_pairs:
+            continue
+        cands.append(ClosureCandidate(i=i, j=j, dist=float(d[i, j])))
+        if len(cands) >= max_candidates:
+            break
+    return cands
 
 
 def verify_closure(
@@ -106,18 +114,26 @@ def find_closures(
     pg_cfg: PoseGraphConfig,
     exclude_pairs: set[tuple[int, int]] | None = None,
     max_candidates: int = 4,
-) -> list[Closure]:
+) -> tuple[list[Closure], set[tuple[int, int]]]:
     """Full propose→verify pass over the current keyframe set.
 
-    `keyframes[k].cloud` must hold the stored downsampled cloud of node k.
+    `keyframes[k].cloud` must hold the stored downsampled cloud of node k
+    (None = sparsified away — skipped).  Returns (verified closures,
+    ALL attempted pairs) so the caller can remember failures and not
+    re-pay the ICP verification for the same pair every promotion — the
+    clouds never change, so a failed pair can only start passing after an
+    optimization moves the initial guess (SlamSystem clears its failure
+    memory on every optimize).
     """
     out: list[Closure] = []
+    attempted: set[tuple[int, int]] = set()
     cands = propose_candidates(kf_poses, pg_cfg, exclude_pairs, max_candidates)
     for c in cands:
         ci = keyframes[c.i].cloud
         cj = keyframes[c.j].cloud
         if ci is None or cj is None:
             continue
+        attempted.add((c.i, c.j))
         T_init = np.linalg.inv(np.asarray(kf_poses[c.i])) @ np.asarray(
             kf_poses[c.j]
         )
@@ -125,4 +141,4 @@ def find_closures(
         if v is not None:
             out.append(Closure(i=c.i, j=c.j, T_ij=v.T_ij, rms=v.rms,
                                inlier_fraction=v.inlier_fraction))
-    return out
+    return out, attempted

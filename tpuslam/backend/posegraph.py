@@ -3,7 +3,8 @@
 Reference status: keyframe nodes + odometry/loop-closure edges, GN/LM over
 relative-pose residuals (SURVEY.md §2a R11; provenance [B:5], [B:11]).
 
-TPU design: fixed-capacity graph (static `max_nodes`/`max_edges`, masked),
+TPU design: padded graph (static capacity per compile, masked; the host
+builder doubles capacity when full — see GraphHost),
 per-edge residual r = log(T_meas⁻¹ · T_i⁻¹ · T_j) with Jacobians from
 `jax.jacfwd` of the local-twist parametrization, **vmapped over all edges at
 once** — no per-edge host loop.  The normal system is assembled as a dense
@@ -52,29 +53,67 @@ class PoseGraph(NamedTuple):
 
 
 class GraphHost:
-    """Host-side mutable builder around the fixed-capacity PoseGraph."""
+    """Host-side mutable builder around the fixed-capacity PoseGraph.
+
+    Capacity is NOT a wall: `cfg.max_nodes`/`cfg.max_edges` are initial
+    paddings and storage doubles when full (amortized O(1) per add).  The
+    jitted solvers see the padded capacity as their static shape, so each
+    doubling costs one recompile — log₂(N) compiles over an arbitrarily
+    long trajectory, paid only when the graph actually grows past them.
+    """
 
     def __init__(self, cfg: PoseGraphConfig):
         self.cfg = cfg
         self.num_nodes = 0
         self.num_edges = 0
-        self._poses = np.tile(np.eye(4, dtype=np.float32), (cfg.max_nodes, 1, 1))
-        self._edge_i = np.zeros((cfg.max_edges,), dtype=np.int32)
-        self._edge_j = np.zeros((cfg.max_edges,), dtype=np.int32)
-        self._edge_T = np.tile(np.eye(4, dtype=np.float32), (cfg.max_edges, 1, 1))
-        self._edge_w = np.zeros((cfg.max_edges,), dtype=np.float32)
+        self.node_capacity = cfg.max_nodes
+        self.edge_capacity = cfg.max_edges
+        self._poses = np.tile(np.eye(4, dtype=np.float32),
+                              (self.node_capacity, 1, 1))
+        self._edge_i = np.zeros((self.edge_capacity,), dtype=np.int32)
+        self._edge_j = np.zeros((self.edge_capacity,), dtype=np.int32)
+        self._edge_T = np.tile(np.eye(4, dtype=np.float32),
+                               (self.edge_capacity, 1, 1))
+        self._edge_w = np.zeros((self.edge_capacity,), dtype=np.float32)
+
+    @staticmethod
+    def _grown(arr: np.ndarray, new_cap: int, eye: bool) -> np.ndarray:
+        out_shape = (new_cap,) + arr.shape[1:]
+        if eye:
+            out = np.tile(np.eye(4, dtype=arr.dtype), (new_cap, 1, 1))
+        else:
+            out = np.zeros(out_shape, dtype=arr.dtype)
+        out[: arr.shape[0]] = arr
+        return out
+
+    def ensure_capacity(self, nodes: int | None = None,
+                        edges: int | None = None) -> None:
+        """Grow storage (pow-2 doubling) to hold ≥ `nodes`/`edges` entries."""
+        if nodes is not None and nodes > self.node_capacity:
+            cap = self.node_capacity
+            while cap < nodes:
+                cap *= 2
+            self._poses = self._grown(self._poses, cap, eye=True)
+            self.node_capacity = cap
+        if edges is not None and edges > self.edge_capacity:
+            cap = self.edge_capacity
+            while cap < edges:
+                cap *= 2
+            self._edge_i = self._grown(self._edge_i, cap, eye=False)
+            self._edge_j = self._grown(self._edge_j, cap, eye=False)
+            self._edge_T = self._grown(self._edge_T, cap, eye=True)
+            self._edge_w = self._grown(self._edge_w, cap, eye=False)
+            self.edge_capacity = cap
 
     def add_node(self, T_world: np.ndarray) -> int:
-        if self.num_nodes >= self.cfg.max_nodes:
-            raise RuntimeError("pose graph node capacity exceeded")
+        self.ensure_capacity(nodes=self.num_nodes + 1)
         self._poses[self.num_nodes] = T_world
         self.num_nodes += 1
         return self.num_nodes - 1
 
     def add_edge(self, i: int, j: int, T_ij: np.ndarray,
                  weight: float = 1.0) -> None:
-        if self.num_edges >= self.cfg.max_edges:
-            raise RuntimeError("pose graph edge capacity exceeded")
+        self.ensure_capacity(edges=self.num_edges + 1)
         e = self.num_edges
         self._edge_i[e] = i
         self._edge_j[e] = j
@@ -83,7 +122,7 @@ class GraphHost:
         self.num_edges += 1
 
     def graph(self) -> PoseGraph:
-        mask = np.zeros((self.cfg.max_nodes,), dtype=bool)
+        mask = np.zeros((self.node_capacity,), dtype=bool)
         mask[: self.num_nodes] = True
         return PoseGraph(
             poses=jnp.asarray(self._poses),
@@ -322,8 +361,18 @@ def optimize_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig,
 
 def optimize(graph: PoseGraph, cfg: PoseGraphConfig,
              huber_delta: float = 0.5):
-    """Solver-dispatching entry point: cfg.solver ∈ {"dense", "cg"}."""
-    if getattr(cfg, "solver", "dense") == "cg":
+    """Solver-dispatching entry point: cfg.solver ∈ {"auto", "dense", "cg"}.
+
+    "auto" picks dense Cholesky while the graph's (static, padded) node
+    capacity is ≤ cfg.dense_max_nodes and the matrix-free block-CG solver
+    beyond — the (6N)² materialization + O(N³) factorization stop paying
+    for themselves around a few hundred nodes."""
+    solver = getattr(cfg, "solver", "auto")
+    if solver == "auto":
+        n_cap = graph.poses.shape[0]
+        solver = ("dense" if n_cap <= getattr(cfg, "dense_max_nodes", 256)
+                  else "cg")
+    if solver == "cg":
         return optimize_pose_graph_cg(
             graph, cfg, huber_delta,
             cg_iters=int(getattr(cfg, "cg_iters", 128)),

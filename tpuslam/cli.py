@@ -30,6 +30,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--start", type=int, default=0)
     p.add_argument("--stop", type=int, default=None)
     p.add_argument("--config", default=None, help="JSON config file (SLAMConfig)")
+    p.add_argument("--intrinsics", default=None, metavar="FX,FY,CX,CY",
+                   help="override camera intrinsics (otherwise: the "
+                        "sequence's intrinsics.txt if present, else guessed "
+                        "from the freiburg1/2/3 sequence name)")
     p.add_argument("--traj-out", default=None, help="write TUM trajectory here")
     p.add_argument("--log-jsonl", default=None, help="per-frame JSONL metrics")
     p.add_argument("--resume", default=None, help="checkpoint file to resume from")
@@ -95,7 +99,12 @@ def _run_pipeline(args, use_slam: bool) -> int:
     _init_distributed(args)
     cfg = _load_config(args.config)
     seq = TumSequence(args.sequence)
-    K = seq.intrinsics
+    if getattr(args, "intrinsics", None):
+        from tpuslam.config import Intrinsics
+
+        K = Intrinsics(*(float(v) for v in args.intrinsics.split(",")))
+    else:
+        K = seq.intrinsics
     system = (
         SlamSystem(K, cfg,
                    track_against_map=getattr(args, "track_against_map", False),
@@ -165,6 +174,11 @@ def _run_pipeline(args, use_slam: bool) -> int:
     }
     if use_slam:
         summary["loop_closures"] = len(system.closures)
+        summary["graph_nodes"] = system.graph.num_nodes
+        # bounded by KeyframeConfig.max_keyframes + protected anchors
+        # (frontend._enforce_cloud_budget)
+        summary["retained_clouds"] = sum(
+            1 for r in odo.keyframes if r.cloud is not None)
         if system.map_ba_stats is not None:
             summary["map_ba"] = system.map_ba_stats
     if seq.groundtruth:

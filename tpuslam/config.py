@@ -152,7 +152,6 @@ class VoxelConfig:
     map_voxel_size: float = 0.02         # m (global map)
     capacity: int = 1 << 14              # max points kept by a downsample
     map_capacity: int = 1 << 17          # max points in the live voxel map
-    hash_slots: int = 1 << 18            # power-of-2 slot count for grid hash
     origin: float = -20.0                # m — world AABB min corner (all axes)
     extent: float = 40.0                 # m — world AABB edge length
 
@@ -164,22 +163,40 @@ class KeyframeConfig:
     max_translation: float = 0.15        # m relative to current keyframe
     max_rotation: float = 0.30           # rad
     min_inlier_fraction: float = 0.40    # re-anchor when overlap drops
-    max_keyframes: int = 256             # static capacity of keyframe store
+    # Tracking is declared LOST (pose rejected, relocalization armed) when
+    # the inlier fraction falls below this.  Lower it for sparse-depth
+    # sequences where even healthy frames match few pixels.
+    lost_inlier_fraction: float = 0.10
+    # Keyframe-cloud retention budget.  Keyframe POSES are cheap (16 floats
+    # — the pose graph grows without bound, see PoseGraphConfig) but each
+    # stored CLOUD is ~0.5 MB, so past this budget the most spatially
+    # redundant stored cloud is dropped (greedy min-nearest-neighbor-
+    # distance sparsification; loop-closure/reloc anchor keyframes and the
+    # most recent `sparsify_protect_recent` are never dropped).  Memory is
+    # thus bounded on arbitrarily long sequences while loop closure keeps a
+    # spatially diverse cloud cover.
+    max_keyframes: int = 256
+    sparsify_protect_recent: int = 8     # newest keyframes never sparsified
 
 
 @dataclasses.dataclass(frozen=True)
 class PoseGraphConfig:
     """Pose-graph backend parameters (SURVEY.md §2a R11, R12)."""
 
+    # INITIAL graph capacities — GraphHost doubles its storage when full
+    # (amortized growth; each doubling costs one solver recompile), so
+    # trajectories are unbounded.  These only set the starting padding.
     max_nodes: int = 256
     max_edges: int = 1024
     gn_iters: int = 20
     damping: float = 1e-4
     # GN inner solver: "dense" Cholesky on the (6N, 6N) system (fastest for
-    # N ≤ a few hundred) or "cg" — matrix-free block-Jacobi-preconditioned
+    # N ≤ a few hundred), "cg" — matrix-free block-Jacobi-preconditioned
     # conjugate gradient over the edge blocks (O(E)/iteration, no (6N)²
-    # materialization; use for long trajectories).
-    solver: str = "dense"
+    # materialization; use for long trajectories), or "auto" — dense up to
+    # `dense_max_nodes` of graph capacity, CG beyond.
+    solver: str = "auto"
+    dense_max_nodes: int = 256
     cg_iters: int = 128
     cg_tol: float = 1e-6
     rot_weight: float = 100.0            # information weight on rotation part
@@ -242,10 +259,18 @@ class SLAMConfig:
         for k, v in raw.items():
             if k in sub and isinstance(v, dict):
                 # JSON has no tuples; per-level knobs must be hashable
-                # (configs are static jit args)
-                v = {k2: tuple(v2) if isinstance(v2, list) else v2
-                     for k2, v2 in v.items()}
-                kw[k] = sub[k](**v)
+                # (configs are static jit args).  Unknown keys are dropped
+                # with a warning so configs written by other versions load.
+                fields = {f.name for f in dataclasses.fields(sub[k])}
+                v2 = {}
+                for k2, raw_v in v.items():
+                    if k2 not in fields:
+                        import sys
+                        print(f"config: ignoring unknown field {k}.{k2}",
+                              file=sys.stderr)
+                        continue
+                    v2[k2] = tuple(raw_v) if isinstance(raw_v, list) else raw_v
+                kw[k] = sub[k](**v2)
             else:
                 kw[k] = v
         return cls(**kw)

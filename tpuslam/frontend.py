@@ -97,7 +97,8 @@ class TrackResult(NamedTuple):
 
 def _promote_flags(res: ICPResult, T0: jnp.ndarray, cfg: SLAMConfig):
     T = res.T
-    lost = (res.inlier_fraction < 0.1) | ~jnp.all(jnp.isfinite(T))
+    lost = ((res.inlier_fraction < cfg.keyframe.lost_inlier_fraction)
+            | ~jnp.all(jnp.isfinite(T)))
     T = jnp.where(lost, T0, T)
     promote = (
         (se3.translation_norm(T) > cfg.keyframe.max_translation)
@@ -249,6 +250,9 @@ class Odometry:
         # full trajectory after pose-graph optimization (SURVEY.md §3.1)
         self.frame_refs: list[tuple[int, np.ndarray]] = []
         self.last_pyr = None  # most recent preprocessed frame (map tracking)
+        # keyframe ids whose clouds must survive sparsification (the SLAM
+        # backend registers loop-closure / relocalization anchors here)
+        self.protected_kf_ids: set[int] = set()
 
     def _kf_cloud(self, pyr) -> PointCloud:
         return _kf_cloud_jit(
@@ -268,6 +272,52 @@ class Odometry:
                 cloud=cloud,
             )
         )
+        if self.keep_keyframe_clouds:
+            self._enforce_cloud_budget()
+
+    def _enforce_cloud_budget(self) -> None:
+        """Keyframe sparsification: bound stored-cloud memory on long runs.
+
+        Keyframe POSES always stay (graph nodes are 16 floats and the pose
+        graph grows amortized — backend/posegraph.py GraphHost); what is
+        sparsified is the per-keyframe CLOUD (~0.5 MB each), used only by
+        loop-closure verification, relocalization, map rebuild, and map BA.
+        Past `cfg.keyframe.max_keyframes` retained clouds, drop the cloud
+        whose keyframe is most spatially redundant — smallest distance to
+        another retained-cloud keyframe — keeping a spatially diverse cover
+        so revisits still find a verifiable anchor.  Protected: the newest
+        `sparsify_protect_recent` (active tracking neighborhood), id 0 (the
+        origin anchor), and anything in `protected_kf_ids` (loop-closure /
+        reloc anchors registered by the SLAM backend).
+        """
+        budget = int(self.cfg.keyframe.max_keyframes)
+        recent = int(getattr(self.cfg.keyframe, "sparsify_protect_recent", 8))
+        retained = [k for k, r in enumerate(self.keyframes)
+                    if r.cloud is not None]
+        if len(retained) <= budget:
+            return
+        protected = set(self.protected_kf_ids)
+        protected.add(0)
+        protected.update(retained[-recent:])
+        pos = np.stack([
+            self.keyframes[k].T_world_kf[:3, 3].astype(np.float64)
+            for k in retained
+        ])
+        while len(retained) > budget:
+            d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            nearest = d.min(axis=1)
+            drop_at = None
+            for idx in np.argsort(nearest):
+                if retained[int(idx)] not in protected:
+                    drop_at = int(idx)
+                    break
+            if drop_at is None:
+                return  # everything protected — bounded by the protections
+            k = retained[drop_at]
+            self.keyframes[k] = self.keyframes[k]._replace(cloud=None)
+            retained.pop(drop_at)
+            pos = np.delete(pos, drop_at, axis=0)
 
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
         """Feed one depth frame (H, W) metres; returns world←cam pose (4, 4)."""

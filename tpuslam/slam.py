@@ -90,6 +90,12 @@ class SlamSystem:
         self.map_track_mode = map_track_mode
         self._map_index = None
         self._known_edges: set[tuple[int, int]] = set()
+        # Pairs that FAILED ICP verification: skipped until the next graph
+        # optimization (keyframe clouds are immutable, so only a moved
+        # initial guess can change a pair's verdict) — without this memory
+        # every promotion re-pays up to max_candidates full ICP alignments
+        # on the same hopeless pairs for the rest of the run.
+        self._failed_pairs: set[tuple[int, int]] = set()
         self._num_graph_nodes = 0
         self.closures: list = []
         # Relocalization (backend/relocalize.py): after `reloc_after`
@@ -163,6 +169,7 @@ class SlamSystem:
                 anchor, T_ij = self._pending_reloc_edges.pop(k)
                 self.graph.add_edge(anchor, k, T_ij, weight=2.0)
                 self._known_edges.add((anchor, k))
+                self.odo.protected_kf_ids.update((anchor, k))
             elif k > 0:
                 prev = self.odo.keyframes[k - 1]
                 T_ij = np.linalg.inv(prev.T_world_kf.astype(np.float64)) @ (
@@ -246,17 +253,22 @@ class SlamSystem:
                 self.graph._poses[k].astype(np.float64) for k in range(n)
             ]
             keyframes = list(self.odo.keyframes[:n])
-            known = set(self._known_edges)
-        closures = find_closures(
+            known = set(self._known_edges) | set(self._failed_pairs)
+        closures, attempted = find_closures(
             keyframes, kf_poses, self.cfg.icp, self.cfg.posegraph,
             exclude_pairs=known,
         )
         with self._lock:
+            accepted = {(c.i, c.j) for c in closures}
+            self._failed_pairs.update(attempted - accepted)
             for c in closures:
                 if (c.i, c.j) in self._known_edges:
                     continue
                 self.graph.add_edge(c.i, c.j, c.T_ij, weight=2.0)
                 self._known_edges.add((c.i, c.j))
+                # closure anchors keep their clouds through sparsification —
+                # a revisited place stays verifiable on the next pass
+                self.odo.protected_kf_ids.update((c.i, c.j))
                 self.closures.append(c)
         return bool(closures)
 
@@ -265,6 +277,8 @@ class SlamSystem:
         poses, _cost = optimize(graph, self.cfg.posegraph)
         poses = np.asarray(poses, dtype=np.float32)
         self.graph.set_poses(poses)
+        # optimization moved the initial guesses — failed pairs may verify now
+        self._failed_pairs.clear()
         # re-anchor the frontend on the corrected keyframe pose
         k = self._num_graph_nodes - 1
         self.odo.T_world_kf = poses[k]
@@ -298,19 +312,25 @@ class SlamSystem:
             map_cloud, 2.0 * self.cfg.voxel.map_voxel_size, max_control,
             origin=self.cfg.voxel.origin, extent=self.cfg.voxel.extent,
         )
-        kf_points, kf_mask, kf_poses = [], [], []
-        for rec in self.odo.keyframes[:n]:
+        # Keyframes whose clouds were sparsified away contribute no map
+        # observations — their poses stay constrained by the graph edges.
+        kf_points, kf_mask, kf_poses, kf_ids = [], [], [], []
+        for kid, rec in enumerate(self.odo.keyframes[:n]):
             if rec.cloud is None:
-                return False
+                continue
             stride = max(1, rec.cloud.points.shape[0] // points_per_kf)
             kf_points.append(rec.cloud.points[::stride][:points_per_kf])
             kf_mask.append(rec.cloud.mask[::stride][:points_per_kf])
             kf_poses.append(rec.T_world_kf.astype(np.float32))
+            kf_ids.append(kid)
+        if len(kf_ids) < 2:
+            return False
         prob = build_map_ba_problem(
             jnp.asarray(np.stack(kf_poses)),
             jnp.stack(kf_points), jnp.stack(kf_mask),
             ctrl.points, ctrl.normals, ctrl.mask,
             max_dist=float(self.cfg.icp.max_corr_dist),
+            kf_ids=jnp.asarray(np.asarray(kf_ids, dtype=np.int32)),
         )
         poses, _map_pts, cost = optimize_map_ba(
             self.graph.graph(), prob, self.cfg.posegraph,

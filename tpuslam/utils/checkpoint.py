@@ -52,12 +52,22 @@ def save_checkpoint(path: str, system, frame_idx: int) -> None:
             data[f"kf_pyr_{li}_normals"] = np.asarray(f.normals)
             data[f"kf_pyr_{li}_mask"] = np.asarray(f.mask)
         data["kf_pyr_levels"] = len(odo.kf_pyr)
-    # keyframe clouds (for loop closure)
-    clouds = [k.cloud for k in odo.keyframes]
-    if clouds and clouds[0] is not None:
-        data["kf_cloud_points"] = np.stack([np.asarray(c.points) for c in clouds])
-        data["kf_cloud_normals"] = np.stack([np.asarray(c.normals) for c in clouds])
-        data["kf_cloud_mask"] = np.stack([np.asarray(c.mask) for c in clouds])
+    # keyframe clouds (for loop closure) — sparsification can leave holes
+    # (frontend._enforce_cloud_budget), so store the retained subset plus
+    # its keyframe ids
+    retained = [(k, r.cloud) for k, r in enumerate(odo.keyframes)
+                if r.cloud is not None]
+    if retained:
+        data["kf_cloud_ids"] = np.asarray([k for k, _ in retained],
+                                          dtype=np.int32)
+        data["kf_cloud_points"] = np.stack(
+            [np.asarray(c.points) for _, c in retained])
+        data["kf_cloud_normals"] = np.stack(
+            [np.asarray(c.normals) for _, c in retained])
+        data["kf_cloud_mask"] = np.stack(
+            [np.asarray(c.mask) for _, c in retained])
+    data["protected_kf_ids"] = np.asarray(sorted(odo.protected_kf_ids),
+                                          dtype=np.int32)
     if _is_slam(system):
         g = system.graph
         data.update(
@@ -111,15 +121,21 @@ def load_checkpoint(path: str, system) -> int:
             )
             for li in range(int(z["kf_pyr_levels"]))
         )
-    has_clouds = "kf_cloud_points" in z
+    n_kf = len(z["kf_indices"])
+    cloud_row = {}           # keyframe id → row in the stored cloud stack
+    if "kf_cloud_points" in z:
+        ids = (z["kf_cloud_ids"] if "kf_cloud_ids" in z
+               else np.arange(n_kf))    # pre-sparsification checkpoints
+        cloud_row = {int(k): r for r, k in enumerate(ids)}
     odo.keyframes = []
-    for k in range(len(z["kf_indices"])):
+    for k in range(n_kf):
         cloud = None
-        if has_clouds:
+        if k in cloud_row:
+            r = cloud_row[k]
             cloud = PointCloud(
-                points=jnp.asarray(z["kf_cloud_points"][k]),
-                normals=jnp.asarray(z["kf_cloud_normals"][k]),
-                mask=jnp.asarray(z["kf_cloud_mask"][k]),
+                points=jnp.asarray(z["kf_cloud_points"][r]),
+                normals=jnp.asarray(z["kf_cloud_normals"][r]),
+                mask=jnp.asarray(z["kf_cloud_mask"][r]),
             )
         odo.keyframes.append(
             KeyframeRecord(
@@ -129,10 +145,14 @@ def load_checkpoint(path: str, system) -> int:
                 cloud=cloud,
             )
         )
+    odo.protected_kf_ids = (
+        {int(i) for i in z["protected_kf_ids"]}
+        if "protected_kf_ids" in z else set())
     if _is_slam(system) and "graph_num_nodes" in z:
         g = system.graph
         g.num_nodes = int(z["graph_num_nodes"])
         g.num_edges = int(z["graph_num_edges"])
+        g.ensure_capacity(nodes=g.num_nodes, edges=g.num_edges)
         g._poses[: g.num_nodes] = z["graph_poses"]
         g._edge_i[: g.num_edges] = z["graph_edge_i"]
         g._edge_j[: g.num_edges] = z["graph_edge_j"]
