@@ -73,6 +73,36 @@ def test_relocalize_unit():
     assert np.linalg.norm(err) < 2e-2, (r, err)
 
 
+def test_relocalize_single_dispatch(monkeypatch):
+    """The (candidate × init) verification grid runs as ONE jitted dispatch
+    (VERDICT r2 weak #6: it used to be up to 8 sequential host-driven ICPs,
+    ~25 ms of remote-tunnel round trip each)."""
+    import tpuslam.backend.relocalize as reloc_mod
+
+    gt, depths = _sequence(20)
+    slam = SlamSystem(K, CFG, enable_loop_closure=False)
+    for i in range(20):
+        slam.process(depths[i], timestamp=i / 30.0)
+    kfs = slam.odo.keyframes
+    assert len(kfs) >= 3
+
+    calls = []
+    real = reloc_mod._batch_verify_jit
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(reloc_mod, "_batch_verify_jit", counting)
+    tau = jnp.array([0.02, -0.015, 0.01, 0.01, -0.01, 0.008])
+    T_cam_kf1 = se3.inv(se3.exp(tau))
+    q = kfs[1].cloud.transform(se3.inv(np.asarray(T_cam_kf1)))
+    T_last = kfs[1].T_world_kf.astype(np.float64) @ np.asarray(T_cam_kf1)
+    r = relocalize(q, kfs, T_last, CFG.icp, CFG.posegraph)
+    assert r is not None
+    assert len(calls) == 1, "relocalize must verify all combos in 1 dispatch"
+
+
 def test_slam_recovers_from_tracking_loss():
     gt, depths = _sequence(20)
     slam = SlamSystem(K, CFG, enable_loop_closure=False, reloc_after=2)
