@@ -63,9 +63,66 @@ def bench_loader(height: int, width: int, frames: int = 40) -> dict:
     }
 
 
+def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
+               cfg=None, cycles: int = 2) -> dict:
+    """Full-SYSTEM throughput: SlamSystem.process (tracking + keyframe graph
+    + loop-closure verify + pose-graph optimization), async backend off/on.
+
+    The headline scan_odometry number is pure device tracking throughput;
+    this measures what a user of `run_slam` actually gets — including the
+    host-driven dispatch latency (large over the remote-TPU tunnel, sub-ms
+    on a real host) and the backend work.  `async_gain` quantifies the PP
+    analogue (SURVEY.md §2c): backend verification/optimization overlapped
+    with tracking in a worker thread vs inline.
+    """
+    import jax
+
+    from tpuslam.config import Intrinsics, SLAMConfig
+    from tpuslam.data.synthetic import loop_trajectory, render_depth
+    from tpuslam.eval.ate import ate_rmse
+    from tpuslam.slam import SlamSystem
+
+    if cfg is None:
+        cfg = SLAMConfig()
+    cfg = cfg.replace(height=height, width=width)
+    K = Intrinsics(
+        525.0 * width / 640.0, 525.0 * height / 480.0,
+        width / 2 - 0.5, height / 2 - 0.5,
+    )
+    gt = loop_trajectory(frames, cycles=cycles, radius=0.35)
+    depths = np.stack(
+        [render_depth(gt[i], K, height, width, seed=i) for i in range(frames)]
+    ).astype(np.float32)
+
+    def one_pass(async_backend: bool) -> tuple[float, object]:
+        slam = SlamSystem(K, cfg, enable_loop_closure=True,
+                          async_backend=async_backend)
+        handles = [jax.device_put(d) for d in depths]
+        t0 = time.perf_counter()
+        for i, d in enumerate(handles):
+            slam.process(d, timestamp=i / 30.0)
+        slam.finalize()
+        return time.perf_counter() - t0, slam
+
+    one_pass(False)                      # compile warmup (shared jit cache)
+    wall_sync, slam = one_pass(False)
+    wall_async, _ = one_pass(True)
+    ts, est = slam.trajectory()
+    m = ate_rmse(ts, est, np.arange(frames) / 30.0, gt, max_difference=0.005)
+    return {
+        "slam_fps": frames / wall_sync,
+        "slam_fps_async": frames / wall_async,
+        "async_gain": wall_sync / wall_async,
+        "slam_ate_rmse_m": m["rmse"],
+        "loop_closures": len(slam.closures),
+        "keyframes": len(slam.odo.keyframes),
+        "frames": frames,
+    }
+
+
 def run_bench(frames: int = 120, height: int = 480, width: int = 640,
               config_path: str | None = None, devices: int | None = None,
-              warmup: int = 1) -> dict:
+              warmup: int = 1, slam_frames: int | None = 120) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -144,6 +201,12 @@ def run_bench(frames: int = 120, height: int = 480, width: int = 640,
 
     # --- host loader throughput (PNG decode must outrun the tracker) ---
     result["loader"] = bench_loader(height=height, width=width, frames=40)
+
+    # --- full SLAM system throughput + async-backend delta (VERDICT r2
+    # weak #7/#8: the PP-overlap claim and system-level fps, measured) ---
+    if slam_frames:
+        result["slam"] = bench_slam(frames=slam_frames, height=height,
+                                    width=width, cfg=cfg)
 
     # --- multi-device scaling (only when >1 device is attached) ---
     n_dev = len(jax.devices()) if devices is None else devices
