@@ -147,6 +147,66 @@ def render_depth(T_world_cam: np.ndarray, K: Intrinsics, height: int,
     return depth.astype(np.float32)
 
 
+def degrade_depth(depth: np.ndarray, seed: int = 0,
+                  z_noise_coeff: float = 0.0,
+                  dropout_holes: int = 0,
+                  hole_frac: float = 0.12,
+                  edge_dropout: float = 0.0) -> np.ndarray:
+    """Apply real-sensor pathologies to a clean rendered depth image
+    (SURVEY.md §4 fixtures; prepares BASELINE configs 2-4 for real data).
+
+    Models the dominant TUM/Kinect failure modes the clean renderer lacks:
+
+      * depth-dependent noise — structured-light depth error grows
+        quadratically with range, σ(z) ≈ `z_noise_coeff`·z² (Khoshelham &
+        Elberink 2012 measure ≈ 2.85e-3 m⁻¹ for the Kinect v1),
+      * rectangular dropout holes — specular/absorbing surfaces and stereo
+        shadow return no depth in contiguous blobs, not salt-and-pepper:
+        `dropout_holes` random rectangles of ~`hole_frac` of each image
+        dimension are zeroed,
+      * random edge dropout — a fraction of remaining pixels zeroed
+        independently (quantization dropout at depth discontinuities).
+    """
+    rng = np.random.default_rng(seed)
+    out = depth.copy()
+    h, w = out.shape
+    valid = out > 0
+    if z_noise_coeff > 0:
+        sigma = z_noise_coeff * out * out
+        out = np.where(valid, out + rng.normal(size=out.shape) * sigma, 0.0)
+    for _ in range(dropout_holes):
+        hh = max(2, int(hole_frac * h * rng.uniform(0.5, 1.5)))
+        ww = max(2, int(hole_frac * w * rng.uniform(0.5, 1.5)))
+        r0 = rng.integers(0, max(1, h - hh))
+        c0 = rng.integers(0, max(1, w - ww))
+        out[r0:r0 + hh, c0:c0 + ww] = 0.0
+    if edge_dropout > 0:
+        keep = rng.uniform(size=out.shape) >= edge_dropout
+        out = np.where(keep, out, 0.0)
+    return out.astype(np.float32)
+
+
+def burst_trajectory(num_frames: int, burst_start: int, burst_len: int,
+                     burst_rate: float = 0.04,
+                     radius: float = 0.18) -> np.ndarray:
+    """Loop trajectory with a fast-rotation burst: `burst_len` frames of an
+    extra `burst_rate` rad/frame yaw, then holding the new heading.  Real
+    handheld TUM sequences (fr1 especially) have such whips; they stress
+    the constant-velocity warm start and the coarse pyramid's basin."""
+    from scipy.spatial.transform import Rotation
+
+    poses = loop_trajectory(num_frames, cycles=1, radius=radius)
+    extra = np.zeros(num_frames)
+    end = min(burst_start + burst_len, num_frames)
+    extra[burst_start:end] = burst_rate
+    yaw = np.cumsum(extra)
+    for i in range(num_frames):
+        if yaw[i] != 0.0:
+            R = Rotation.from_euler("y", yaw[i]).as_matrix()
+            poses[i, :3, :3] = poses[i, :3, :3] @ R
+    return poses
+
+
 def write_tum_sequence(
     root: str,
     num_frames: int,
