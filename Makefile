@@ -8,7 +8,8 @@ test:
 
 test-fast:
 	python -m pytest tests/test_se3.py tests/test_geom.py tests/test_voxel.py \
-	  tests/test_pallas_kernels.py tests/test_posegraph.py -q
+	  tests/test_pallas_kernels.py tests/test_posegraph.py \
+	  tests/test_capacity.py tests/test_profiling.py -q
 
 bench:
 	python bench.py

@@ -313,17 +313,18 @@ def optimize_pose_graph_cg(graph: PoseGraph, cfg: PoseGraphConfig,
 
     def gn_round(_, carry):
         poses, _cost = carry
-        Hii, Hjj, Hij, bi, bj, cost = edge_blocks(
-            poses, graph.edge_i, graph.edge_j, graph.edge_T,
-            graph.edge_weight, info, huber_delta)
-        N = poses.shape[0]
-        b = jnp.zeros((N, 6), dtype=poses.dtype)
-        b = b.at[graph.edge_i].add(bi)
-        b = b.at[graph.edge_j].add(bj)
-        new_poses = _solve_update_cg(
-            poses, graph.node_mask,
-            (Hii, Hjj, Hij, graph.edge_i, graph.edge_j), b, cfg,
-            cg_iters, cg_tol)
+        with jax.named_scope("posegraph.gn_round_cg"):
+            Hii, Hjj, Hij, bi, bj, cost = edge_blocks(
+                poses, graph.edge_i, graph.edge_j, graph.edge_T,
+                graph.edge_weight, info, huber_delta)
+            N = poses.shape[0]
+            b = jnp.zeros((N, 6), dtype=poses.dtype)
+            b = b.at[graph.edge_i].add(bi)
+            b = b.at[graph.edge_j].add(bj)
+            new_poses = _solve_update_cg(
+                poses, graph.node_mask,
+                (Hii, Hjj, Hij, graph.edge_i, graph.edge_j), b, cfg,
+                cg_iters, cg_tol)
         return (new_poses, cost)
 
     poses, cost = jax.lax.fori_loop(
@@ -346,11 +347,12 @@ def optimize_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig,
 
     def gn_round(_, carry):
         poses, _cost = carry
-        H, b, cost = edge_normal_system(
-            poses, graph.edge_i, graph.edge_j, graph.edge_T,
-            graph.edge_weight, info, huber_delta,
-        )
-        new_poses = solve_and_update(poses, graph.node_mask, H, b, cfg)
+        with jax.named_scope("posegraph.gn_round"):
+            H, b, cost = edge_normal_system(
+                poses, graph.edge_i, graph.edge_j, graph.edge_T,
+                graph.edge_weight, info, huber_delta,
+            )
+            new_poses = solve_and_update(poses, graph.node_mask, H, b, cfg)
         return (new_poses, cost)
 
     poses, cost = jax.lax.fori_loop(

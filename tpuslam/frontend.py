@@ -72,11 +72,13 @@ def preprocess(depth: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
     pyr = []
     d = depth
     for li in range(levels):
-        pts, mask = backproject(
-            d, K.scaled(1.0 / (2 ** li)),
-            depth_min=cfg.icp.depth_min, depth_max=cfg.icp.depth_max,
-        )
-        nrm, nmask = organized_normals(pts, mask)
+        with jax.named_scope(f"preprocess.backproject_l{li}"):
+            pts, mask = backproject(
+                d, K.scaled(1.0 / (2 ** li)),
+                depth_min=cfg.icp.depth_min, depth_max=cfg.icp.depth_max,
+            )
+        with jax.named_scope(f"preprocess.normals_l{li}"):
+            nrm, nmask = organized_normals(pts, mask)
         pyr.append(Frame(points=pts, normals=nrm, mask=mask & nmask))
         if li + 1 < levels:
             d = d[::2, ::2]

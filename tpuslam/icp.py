@@ -118,19 +118,22 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
         # then `inner` GN solves against the same association with the
         # source re-transformed between solves (inner/outer ICP): the IRLS
         # Huber reweighting still sees fresh residuals each inner step.
-        x = se3.transform_points(state.T, src.points)
-        n_rot = se3.rotate_vectors(state.T, src.normals)
-        corr = correspond_fn(x, src.mask, n_rot)
+        with jax.named_scope("icp.correspond"):
+            x = se3.transform_points(state.T, src.points)
+            n_rot = se3.rotate_vectors(state.T, src.normals)
+            corr = correspond_fn(x, src.mask, n_rot)
         T_new = state.T
         for k in range(inner):
             if k > 0:
                 x = se3.transform_points(T_new, src.points)
-            stats = gn_reduce_auto(x, corr.q, corr.n, corr.w, src.mask,
-                                   cfg.huber_delta, use_pallas=pallas_on)
-            delta = solve_gn_step(stats.H, stats.b, cfg.damping,
-                                  cfg.damping_abs,
-                                  cfg.max_trans_step, cfg.max_rot_step)
-            T_new = se3.exp(delta) @ T_new
+            with jax.named_scope("icp.gn_reduce"):
+                stats = gn_reduce_auto(x, corr.q, corr.n, corr.w, src.mask,
+                                       cfg.huber_delta, use_pallas=pallas_on)
+            with jax.named_scope("icp.solve"):
+                delta = solve_gn_step(stats.H, stats.b, cfg.damping,
+                                      cfg.damping_abs,
+                                      cfg.max_trans_step, cfg.max_rot_step)
+                T_new = se3.exp(delta) @ T_new
         inl = jnp.maximum(stats.num_inliers, 1.0)
         return _CarryState(
             T=T_new,
@@ -362,10 +365,11 @@ def pack_pyramid(pyr, cfg: ICPConfig) -> tuple:
     packed pyramid and re-pack only on promotion.
     """
     dtype = jnp.dtype(getattr(cfg, "packed_dtype", "float32"))
-    return tuple(
-        pack_organized_target(f.points, f.normals, f.mask, dtype=dtype)
-        for f in pyr
-    )
+    with jax.named_scope("pack_target"):
+        return tuple(
+            pack_organized_target(f.points, f.normals, f.mask, dtype=dtype)
+            for f in pyr
+        )
 
 
 def align_frames_packed(

@@ -118,6 +118,17 @@ def gn_reduce_pallas(x: jnp.ndarray, q: jnp.ndarray, n: jnp.ndarray,
     plane_spec = pl.BlockSpec(
         (_BLOCK_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    # Cost model for the Mosaic scheduler (SURVEY.md §5 tracing row):
+    # ~130 VPU flops/point (residual 8, Huber 4, cross product 9, 21 H
+    # outer-product terms + 6 b terms + wr² at ~3 each incl. the reduce);
+    # HBM traffic is the design point — each input float read once, 8·128
+    # floats written per grid step.
+    n_padded = rows * _LANES
+    cost = pl.CostEstimate(
+        flops=130 * n_padded,
+        bytes_accessed=4 * (10 * n_padded + grid * 8 * _LANES),
+        transcendentals=0,
+    )
     partials = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((grid * 8, _LANES), x.dtype),
@@ -126,6 +137,7 @@ def gn_reduce_pallas(x: jnp.ndarray, q: jnp.ndarray, n: jnp.ndarray,
         + [plane_spec] * 10,
         out_specs=pl.BlockSpec((8, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        cost_estimate=cost,
         interpret=interpret,
     )(hd, *planes)
 

@@ -175,6 +175,16 @@ def ring_nn(x_cols: jnp.ndarray, shard_cols: jnp.ndarray, *, n_dev: int,
         raise ValueError(f"map shard size {m} not a multiple of block {bm}")
     kernel = functools.partial(
         _ring_nn_kernel, n_dev=n_dev, block_m=bm, axis_name=axis_name)
+    # Cost model (SURVEY.md §5 tracing row): per ring hop the dominant work
+    # is two MXU matmuls per block — the (8, N)·(8, BM) distance gram and
+    # the (N, BM)·(BM, 8) one-hot winner-row recovery — ≈ 2·N·M·16 flops,
+    # plus ~6 VPU ops per score cell; ICI moves 8·M·4 B per hop (counted
+    # into bytes_accessed alongside the one-time HBM reads/writes).
+    cost = pl.CostEstimate(
+        flops=n_dev * n * m * (2 * 16 + 6),
+        bytes_accessed=4 * (8 * n + 8 * m + 9 * n + (n_dev - 1) * 8 * m),
+        transcendentals=0,
+    )
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -199,5 +209,6 @@ def ring_nn(x_cols: jnp.ndarray, shard_cols: jnp.ndarray, *, n_dev: int,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=1),
+        cost_estimate=cost,
         interpret=interpret,
     )(x_cols, shard_cols)
