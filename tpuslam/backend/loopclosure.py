@@ -11,15 +11,89 @@ clouds.  Acceptance gates on converged + residual RMS + inlier fraction.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuslam.config import ICPConfig, PoseGraphConfig
+from tpuslam.config import ICPConfig, Intrinsics, PoseGraphConfig
 from tpuslam.geom import se3
 from tpuslam.geom.cloud import PointCloud
-from tpuslam.icp import align_clouds_jit
+from tpuslam.icp import (
+    FlatICP,
+    align_cloud_to_organized,
+    align_clouds,
+    flat_icp_scalars,
+)
+
+# column appended after the FlatICP block: smallest eigenvalue of the
+# normalized normal-coverage matrix (observability gate), computed on
+# device so one readback carries every gate input
+COVERAGE_COL = FlatICP.SIZE
+
+
+@partial(jax.jit, static_argnames=("icp_cfg",))
+def _verify_jit(cloud_j: PointCloud, cloud_i: PointCloud,
+                T_init: jnp.ndarray, icp_cfg: ICPConfig) -> jnp.ndarray:
+    """Grid-hash ICP + all acceptance-gate scalars in ONE flat vector.
+
+    The previous implementation read rms/converged/inliers/H/T back as five
+    separate device fetches — ~125 ms per verification over the remote-TPU
+    tunnel's ~25 ms round trips, multiplied by every candidate of every
+    promotion."""
+    res = align_clouds(cloud_j, cloud_i, T_init, icp_cfg, use_grid=True)
+    Hr = res.H[:3, :3]
+    w_sum = jnp.maximum(jnp.trace(Hr), 1e-9)
+    cov = jnp.linalg.eigvalsh(Hr / w_sum)[0]
+    return jnp.concatenate(
+        [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
+
+
+@partial(jax.jit, static_argnames=("icp_cfg",))
+def _verify_pairs_jit(clouds_i: PointCloud, clouds_j: PointCloud,
+                      T_inits: jnp.ndarray, icp_cfg: ICPConfig) -> jnp.ndarray:
+    """vmapped `_verify_jit` over B candidate pairs — one dispatch verifies
+    every proposal of a promotion (each leaf stacked on a leading B dim).
+
+    Grid-hash fallback, used when records lack verification tables (e.g.
+    restored from a pre-table checkpoint): correct, but each probe gathers
+    27 cells × 16 candidates per query — prefer the projective batch."""
+
+    def one(pi, ni, mi, pj, nj, mj, T0):
+        return _verify_jit(
+            PointCloud(points=pj, normals=nj, mask=mj),
+            PointCloud(points=pi, normals=ni, mask=mi), T0, icp_cfg)
+
+    return jax.vmap(one)(clouds_i.points, clouds_i.normals, clouds_i.mask,
+                         clouds_j.points, clouds_j.normals, clouds_j.mask,
+                         T_inits)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "icp_cfg"))
+def _verify_projective_pairs_jit(tables: jnp.ndarray, clouds_j: PointCloud,
+                                 K_lvl: Intrinsics, T_inits: jnp.ndarray,
+                                 h: int, w: int,
+                                 icp_cfg: ICPConfig) -> jnp.ndarray:
+    """Projective verification batch: align each candidate's cloud_j onto
+    keyframe i's retained ORGANIZED tracking table (one row gather per
+    source point per iteration — the production verification path; see
+    BASELINE.md roofline for why the grid probe is ~400× more gather
+    traffic).  One dispatch per promotion."""
+
+    def one(table, pts, nrm, msk, T0):
+        res = align_cloud_to_organized(
+            PointCloud(points=pts, normals=nrm, mask=msk),
+            table, h, w, K_lvl, T0, icp_cfg)
+        Hr = res.H[:3, :3]
+        w_sum = jnp.maximum(jnp.trace(Hr), 1e-9)
+        cov = jnp.linalg.eigvalsh(Hr / w_sum)[0]
+        return jnp.concatenate(
+            [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
+
+    return jax.vmap(one)(tables, clouds_j.points, clouds_j.normals,
+                         clouds_j.mask, T_inits)
 
 
 class ClosureCandidate(NamedTuple):
@@ -83,28 +157,42 @@ def verify_closure(
     Clouds are in their own keyframe camera frames; `T_init_ij` is the
     current graph estimate of node_i ← node_j (the initial guess).
     """
-    res = align_clouds_jit(
+    s = np.asarray(_verify_jit(
         cloud_j, cloud_i, jnp.asarray(T_init_ij, dtype=jnp.float32),
-        icp_cfg, use_grid=True,
-    )
-    rms = float(res.rms)
-    inl = float(res.inlier_fraction)
-    if not bool(res.converged):
+        icp_cfg))                       # the ONE host sync of the verify
+    return _gate_row(s, pg_cfg)
+
+
+def _gate_row(s: np.ndarray, pg_cfg: PoseGraphConfig) -> Closure | None:
+    """Apply the acceptance gates to one flat verification row."""
+    rms = float(s[FlatICP.RMS])
+    inl = float(s[FlatICP.INLIER_FRACTION])
+    if not bool(s[FlatICP.CONVERGED] > 0.5):
         return None
     if rms > pg_cfg.lc_max_residual or inl < pg_cfg.lc_min_inliers:
         return None
     # Observability gate: H[:3,:3] = Σw·nnᵀ.  If the inlier normals don't
     # span 3-D (featureless-wall overlap), the estimate can slide in-plane
     # with tiny residual — such a closure would only re-encode drift.
-    H = np.asarray(res.H, dtype=np.float64)
-    w_sum = max(float(np.trace(H[:3, :3])), 1e-9)
-    coverage = float(np.linalg.eigvalsh(H[:3, :3] / w_sum)[0])
-    if coverage < pg_cfg.lc_min_normal_coverage:
+    if float(s[COVERAGE_COL]) < pg_cfg.lc_min_normal_coverage:
         return None
-    T = np.asarray(res.T, dtype=np.float64)
+    T = s[FlatICP.T].reshape(4, 4).astype(np.float64)
     if not np.all(np.isfinite(T)):
         return None
     return Closure(i=-1, j=-1, T_ij=T, rms=rms, inlier_fraction=inl)
+
+
+def _pad_batch(live: list, max_candidates: int) -> list:
+    """Pad to the next power-of-two batch size (≤ max_candidates) with
+    repeats of the first entry: promotions typically propose 1-2 pairs, and
+    always padding to max_candidates would 2-4× the verification compute
+    (the vmapped while_loop runs every lane to the slowest's convergence).
+    Power-of-two bucketing caps the compile count at log₂(max_candidates)."""
+    b = 1
+    while b < len(live):
+        b *= 2
+    b = min(b, max_candidates) if len(live) <= max_candidates else len(live)
+    return live + [live[0]] * (b - len(live))
 
 
 def find_closures(
@@ -114,31 +202,64 @@ def find_closures(
     pg_cfg: PoseGraphConfig,
     exclude_pairs: set[tuple[int, int]] | None = None,
     max_candidates: int = 4,
+    K: Intrinsics | None = None,
 ) -> tuple[list[Closure], set[tuple[int, int]]]:
     """Full propose→verify pass over the current keyframe set.
 
     `keyframes[k].cloud` must hold the stored downsampled cloud of node k
-    (None = sparsified away — skipped).  Returns (verified closures,
-    ALL attempted pairs) so the caller can remember failures and not
-    re-pay the ICP verification for the same pair every promotion — the
-    clouds never change, so a failed pair can only start passing after an
-    optimization moves the initial guess (SlamSystem clears its failure
-    memory on every optimize).
+    (None = sparsified away — skipped).  All verifications of the pass run
+    as ONE vmapped dispatch: projectively against the keyframes' retained
+    tracking tables when available (pass `K` — the production path), else
+    grid-hash cloud-to-cloud.  Returns (verified closures, ALL attempted
+    pairs) so the caller can remember failures and not re-pay the ICP
+    verification for the same pair every promotion — the clouds never
+    change, so a failed pair can only start passing after an optimization
+    moves the initial guess (SlamSystem clears its failure memory on every
+    optimize).
     """
     out: list[Closure] = []
     attempted: set[tuple[int, int]] = set()
     cands = propose_candidates(kf_poses, pg_cfg, exclude_pairs, max_candidates)
+    live = []
     for c in cands:
-        ci = keyframes[c.i].cloud
-        cj = keyframes[c.j].cloud
-        if ci is None or cj is None:
+        if keyframes[c.i].cloud is None or keyframes[c.j].cloud is None:
             continue
-        attempted.add((c.i, c.j))
         T_init = np.linalg.inv(np.asarray(kf_poses[c.i])) @ np.asarray(
-            kf_poses[c.j]
+            kf_poses[c.j])
+        live.append((c.i, c.j, T_init.astype(np.float32)))
+        attempted.add((c.i, c.j))
+    if not live:
+        return out, attempted
+    n_live = len(live)
+    padded = _pad_batch(live, max_candidates)
+    clouds_j = PointCloud(
+        points=jnp.stack([keyframes[j].cloud.points for _, j, _ in padded]),
+        normals=jnp.stack([keyframes[j].cloud.normals for _, j, _ in padded]),
+        mask=jnp.stack([keyframes[j].cloud.mask for _, j, _ in padded]),
+    )
+    T_inits = jnp.asarray(np.stack([T for _, _, T in padded]))
+    projective = (K is not None and
+                  all(keyframes[i].verify is not None for i, _, _ in live))
+    if projective:
+        v0 = keyframes[live[0][0]].verify
+        tables = jnp.stack([keyframes[i].verify.packed for i, _, _ in padded])
+        s = np.asarray(_verify_projective_pairs_jit(
+            tables, clouds_j, K.scaled(1.0 / (2 ** v0.level)), T_inits,
+            v0.height, v0.width, icp_cfg))
+    else:
+        clouds_i = PointCloud(
+            points=jnp.stack([keyframes[i].cloud.points
+                              for i, _, _ in padded]),
+            normals=jnp.stack([keyframes[i].cloud.normals
+                               for i, _, _ in padded]),
+            mask=jnp.stack([keyframes[i].cloud.mask for i, _, _ in padded]),
         )
-        v = verify_closure(ci, cj, T_init, icp_cfg, pg_cfg)
+        s = np.asarray(_verify_pairs_jit(clouds_i, clouds_j, T_inits,
+                                         icp_cfg))
+    for row_idx in range(n_live):
+        i, j, _ = live[row_idx]
+        v = _gate_row(s[row_idx], pg_cfg)
         if v is not None:
-            out.append(Closure(i=c.i, j=c.j, T_ij=v.T_ij, rms=v.rms,
+            out.append(Closure(i=i, j=j, T_ij=v.T_ij, rms=v.rms,
                                inlier_fraction=v.inlier_fraction))
     return out, attempted

@@ -27,9 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuslam.config import ICPConfig, PoseGraphConfig
+from tpuslam.config import ICPConfig, Intrinsics, PoseGraphConfig
 from tpuslam.geom.cloud import PointCloud
-from tpuslam.icp import FlatICP, align_clouds, flat_icp_scalars
+from tpuslam.icp import (
+    FlatICP,
+    align_cloud_to_organized,
+    align_clouds,
+    flat_icp_scalars,
+)
 
 # column appended after the FlatICP block: smallest eigenvalue of the
 # normalized inlier normal-coverage matrix (the observability gate of
@@ -73,6 +78,28 @@ def _batch_verify_jit(frame_cloud: PointCloud, kf_clouds: PointCloud,
                          kf_clouds.mask, T_inits)
 
 
+@partial(jax.jit, static_argnames=("h", "w", "icp_cfg"))
+def _batch_verify_projective_jit(frame_cloud: PointCloud,
+                                 tables: jnp.ndarray, K_lvl: Intrinsics,
+                                 T_inits: jnp.ndarray, h: int, w: int,
+                                 icp_cfg: ICPConfig) -> jnp.ndarray:
+    """Projective variant: the lost frame's cloud aligned against each
+    candidate keyframe's retained ORGANIZED tracking table — one row gather
+    per point per iteration instead of the grid probe's 27×16 candidate
+    rows (see BASELINE.md roofline; the production path)."""
+
+    def one(table, T0):
+        res = align_cloud_to_organized(frame_cloud, table, h, w, K_lvl, T0,
+                                       icp_cfg)
+        Hr = res.H[:3, :3]
+        w_sum = jnp.maximum(jnp.trace(Hr), 1e-9)
+        cov = jnp.linalg.eigvalsh(Hr / w_sum)[0]
+        return jnp.concatenate(
+            [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
+
+    return jax.vmap(one)(tables, T_inits)
+
+
 def _passes_gates(row: np.ndarray, pg_cfg: PoseGraphConfig) -> bool:
     T = row[FlatICP.T].reshape(4, 4)
     return (
@@ -92,6 +119,7 @@ def relocalize(
     pg_cfg: PoseGraphConfig,
     max_candidates: int = 4,
     max_dist: Optional[float] = None,
+    K: Intrinsics | None = None,
 ) -> Optional[Relocalization]:
     """Try to re-anchor a lost frame on a stored keyframe.
 
@@ -143,14 +171,24 @@ def relocalize(
     while len(combos) < 2 * max_candidates:
         combos.append(combos[0])
 
-    kf_clouds = PointCloud(
-        points=jnp.stack([keyframes[k].cloud.points for k, _ in combos]),
-        normals=jnp.stack([keyframes[k].cloud.normals for k, _ in combos]),
-        mask=jnp.stack([keyframes[k].cloud.mask for k, _ in combos]),
-    )
     T_inits = jnp.asarray(
         np.stack([T for _, T in combos]).astype(np.float32))
-    flat = _batch_verify_jit(frame_cloud, kf_clouds, T_inits, icp_cfg)
+    projective = (K is not None and
+                  all(keyframes[k].verify is not None for k in cand_ids))
+    if projective:
+        v0 = keyframes[cand_ids[0]].verify
+        tables = jnp.stack([keyframes[k].verify.packed for k, _ in combos])
+        flat = _batch_verify_projective_jit(
+            frame_cloud, tables, K.scaled(1.0 / (2 ** v0.level)), T_inits,
+            v0.height, v0.width, icp_cfg)
+    else:
+        kf_clouds = PointCloud(
+            points=jnp.stack([keyframes[k].cloud.points for k, _ in combos]),
+            normals=jnp.stack([keyframes[k].cloud.normals
+                               for k, _ in combos]),
+            mask=jnp.stack([keyframes[k].cloud.mask for k, _ in combos]),
+        )
+        flat = _batch_verify_jit(frame_cloud, kf_clouds, T_inits, icp_cfg)
     s = np.asarray(flat)            # the ONE host sync of the attempt
     for row_idx in range(n_live):
         row = s[row_idx]

@@ -82,9 +82,16 @@ def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
     from tpuslam.eval.ate import ate_rmse
     from tpuslam.slam import SlamSystem
 
+    import dataclasses
+
     if cfg is None:
         cfg = SLAMConfig()
-    cfg = cfg.replace(height=height, width=width)
+    # the 2-lap loop promotes ~15 keyframes per lap — the default
+    # lc_min_gap=20 would gate every revisit and the "with loop closure"
+    # claim would silently measure a closure-free run
+    cfg = cfg.replace(
+        height=height, width=width,
+        posegraph=dataclasses.replace(cfg.posegraph, lc_min_gap=8))
     K = Intrinsics(
         525.0 * width / 640.0, 525.0 * height / 480.0,
         width / 2 - 0.5, height / 2 - 0.5,

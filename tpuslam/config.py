@@ -177,6 +177,13 @@ class KeyframeConfig:
     # spatially diverse cloud cover.
     max_keyframes: int = 256
     sparsify_protect_recent: int = 8     # newest keyframes never sparsified
+    # Pyramid level of the packed row-gather table each keyframe retains
+    # for PROJECTIVE loop-closure/relocalization verification (0 = finest).
+    # The table is a byproduct of tracking (pack_pyramid at promotion) —
+    # retaining level 1 costs h·w/4 · 16 B (~1.2 MB at VGA) and makes a
+    # verification ~400× lighter on gather traffic than the grid-hash
+    # probe (see BASELINE.md roofline: the gather is issue-rate-bound).
+    verify_level: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

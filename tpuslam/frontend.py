@@ -56,17 +56,37 @@ def damped_velocity(delta: jnp.ndarray, gamma: float) -> jnp.ndarray:
     return se3.exp(gamma * se3.log(delta))
 
 
+def decimate2(d: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 decimation of an (H, W) plane, TPU-fast.
+
+    `d[::2, ::2]` strides the LANE dimension, which XLA:TPU lowers to a
+    per-element gather fusion — measured 1.10 ms for the 3-level pyramid's
+    two decimations at 640×480 (dominating the whole preprocess).  Rows are
+    cheap (sublane stride); columns are selected with a one-hot matmul the
+    MXU eats: 0.13 ms for the same pyramid, bit-exact (0/1 × f32 products
+    are exact even under the bf16-pass f32 matmul decomposition).  On CPU
+    the strided slice is free and the matmul is not — pick per backend
+    (trace-time constant, like the Pallas/jnp kernel switch).
+    """
+    if jax.default_backend() != "tpu":
+        return d[::2, ::2]
+    w = d.shape[1]
+    sel = jnp.eye(w, dtype=d.dtype)[:, ::2]       # compile-time constant
+    return d[::2] @ sel
+
+
 def preprocess(depth: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
     """depth (H, W) → organized pyramid [finest..coarsest] of Frames.
 
     The DEPTH image is decimated first and each level is backprojected with
     its own scaled intrinsics, rather than decimating a full-resolution
-    point pyramid: depth is a (H, W) plane the TPU slices at full bandwidth,
-    while strided slices of (H, W, 3) point images are relayout-bound
-    (measured 0.44 ms of a 0.78 ms preprocess at 640×480×3 levels).  It is
-    also *more* self-consistent: level-l points satisfy
-    project(p, K.scaled(2^-l)) == their own pixel exactly, and coarse
-    normals use the coarse neighbor baseline (standard pyramid practice).
+    point pyramid: depth is a (H, W) plane the TPU decimates at full speed
+    (see decimate2), while strided slices of (H, W, 3) point images are
+    relayout-bound (measured 0.44 ms of a 0.78 ms preprocess at
+    640×480×3 levels).  It is also *more* self-consistent: level-l points
+    satisfy project(p, K.scaled(2^-l)) == their own pixel exactly, and
+    coarse normals use the coarse neighbor baseline (standard pyramid
+    practice).
     """
     levels = cfg.icp.pyramid_levels
     pyr = []
@@ -81,7 +101,8 @@ def preprocess(depth: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
             nrm, nmask = organized_normals(pts, mask)
         pyr.append(Frame(points=pts, normals=nrm, mask=mask & nmask))
         if li + 1 < levels:
-            d = d[::2, ::2]
+            with jax.named_scope(f"preprocess.decimate_l{li}"):
+                d = decimate2(d)
     return tuple(pyr)
 
 
@@ -221,6 +242,17 @@ def prefetch_to_device(frames, lookahead: int = 2):
         yield pending.popleft()
 
 
+class VerifyTable(NamedTuple):
+    """Packed row-gather table a keyframe retains for projective backend
+    verification (loop closure / relocalization) — a byproduct of its own
+    tracking tables (icp.pack_pyramid), kept at KeyframeConfig.verify_level."""
+
+    packed: "jnp.ndarray"       # (h·w, 8) table (pack_organized_target)
+    height: int                 # static — level image dims
+    width: int
+    level: int                  # pyramid level (scales the intrinsics)
+
+
 class KeyframeRecord(NamedTuple):
     """Host-side record of a promoted keyframe (for the backend)."""
 
@@ -228,6 +260,10 @@ class KeyframeRecord(NamedTuple):
     timestamp: float
     T_world_kf: np.ndarray      # (4, 4)
     cloud: Optional[PointCloud]  # voxel-downsampled cloud in KF camera frame
+    # retained verification table; dropped together with `cloud` by
+    # sparsification; None on records restored from old checkpoints
+    # (verification then falls back to the grid-hash path)
+    verify: Optional[VerifyTable] = None
 
 
 class Odometry:
@@ -265,13 +301,24 @@ class Odometry:
     def _promote(self, pyr, timestamp: float) -> None:
         self.kf_pyr = pyr
         self.kf_packed = pack_pyramid_jit(pyr, self.cfg)
-        cloud = self._kf_cloud(pyr) if self.keep_keyframe_clouds else None
+        cloud = None
+        verify = None
+        if self.keep_keyframe_clouds:
+            cloud = self._kf_cloud(pyr)
+            # retain the tracking table at verify_level for the backend's
+            # projective verification — already computed, memory only
+            lvl = min(int(getattr(self.cfg.keyframe, "verify_level", 1)),
+                      len(pyr) - 1)
+            h, w, _ = pyr[lvl].points.shape
+            verify = VerifyTable(packed=self.kf_packed[lvl],
+                                 height=h, width=w, level=lvl)
         self.keyframes.append(
             KeyframeRecord(
                 index=self.frame_idx,
                 timestamp=timestamp,
                 T_world_kf=self.T_world_kf.copy(),
                 cloud=cloud,
+                verify=verify,
             )
         )
         if self.keep_keyframe_clouds:
@@ -317,7 +364,8 @@ class Odometry:
             if drop_at is None:
                 return  # everything protected — bounded by the protections
             k = retained[drop_at]
-            self.keyframes[k] = self.keyframes[k]._replace(cloud=None)
+            self.keyframes[k] = self.keyframes[k]._replace(cloud=None,
+                                                           verify=None)
             retained.pop(drop_at)
             pos = np.delete(pos, drop_at, axis=0)
 

@@ -271,6 +271,36 @@ align_map_to_frame_jit = jax.jit(align_map_to_frame,
                                  static_argnames=("cfg", "use_pallas"))
 
 
+def align_cloud_to_organized(src: PointCloud, packed: jnp.ndarray,
+                             height: int, width: int, K: Intrinsics,
+                             T0: jnp.ndarray, cfg: ICPConfig,
+                             use_pallas: bool = False) -> ICPResult:
+    """Align an unorganized cloud onto an ORGANIZED target's packed table.
+
+    The backend's verification path (loop closure, relocalization): the
+    target keyframe keeps the row-gather table its own tracking already
+    built (icp.pack_pyramid), so association is ONE 16-byte row gather per
+    source point per iteration — the grid-hash probe gathers 27 cells × 16
+    candidates ≈ 430 rows per query instead, which at the measured ~3 ns/row
+    gather issue rate made a single verification cost ~100 ms on TPU
+    (BASELINE.md roofline).  Estimates T s.t. target_point ≈ T·src_point
+    (the pose of the src cloud's frame in the target camera frame).
+
+    `inlier_fraction` is measured against ALL valid source points (like the
+    grid-hash path) so the overlap gates keep their meaning.
+    """
+
+    def correspond(x, mask, n_rot):
+        return projective_correspond_packed(
+            x, mask, packed, height, width, K, cfg.max_corr_dist,
+            src_normals_in_dst=n_rot,
+            normal_dot_min=cfg.normal_dot_min,
+        )
+
+    return _icp_loop(correspond, src, T0, cfg, cfg.max_iters,
+                     use_pallas=use_pallas)
+
+
 def _build_index(dst: PointCloud, cfg: ICPConfig) -> GridIndex:
     from tpuslam.kernels.correspond import build_grid_index
 

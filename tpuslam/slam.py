@@ -256,7 +256,7 @@ class SlamSystem:
             known = set(self._known_edges) | set(self._failed_pairs)
         closures, attempted = find_closures(
             keyframes, kf_poses, self.cfg.icp, self.cfg.posegraph,
-            exclude_pairs=known,
+            exclude_pairs=known, K=self.odo.K,
         )
         with self._lock:
             accepted = {(c.i, c.j) for c in closures}
@@ -376,7 +376,7 @@ class SlamSystem:
         kf_id, T_rel = odo.frame_refs[-1]
         T_last = odo.keyframes[kf_id].T_world_kf.astype(np.float64) @ T_rel
         r = relocalize(frame_cloud, odo.keyframes, T_last,
-                       self.cfg.icp, self.cfg.posegraph)
+                       self.cfg.icp, self.cfg.posegraph, K=odo.K)
         if r is None:
             return False
         anchor = odo.keyframes[r.kf_id]

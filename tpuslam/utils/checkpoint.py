@@ -68,6 +68,17 @@ def save_checkpoint(path: str, system, frame_idx: int) -> None:
             [np.asarray(c.mask) for _, c in retained])
     data["protected_kf_ids"] = np.asarray(sorted(odo.protected_kf_ids),
                                           dtype=np.int32)
+    # projective-verification tables (a keyframe's retained tracking table;
+    # without them a resumed run falls back to the slow grid-hash verify)
+    vt = [(k, r.verify) for k, r in enumerate(odo.keyframes)
+          if r.verify is not None]
+    if vt:
+        v0 = vt[0][1]
+        data["kf_verify_ids"] = np.asarray([k for k, _ in vt], dtype=np.int32)
+        data["kf_verify_packed"] = np.stack(
+            [np.asarray(v.packed) for _, v in vt])
+        data["kf_verify_meta"] = np.asarray(
+            [v0.height, v0.width, v0.level], dtype=np.int32)
     if _is_slam(system):
         g = system.graph
         data.update(
@@ -127,6 +138,10 @@ def load_checkpoint(path: str, system) -> int:
         ids = (z["kf_cloud_ids"] if "kf_cloud_ids" in z
                else np.arange(n_kf))    # pre-sparsification checkpoints
         cloud_row = {int(k): r for r, k in enumerate(ids)}
+    verify_row = {}
+    if "kf_verify_ids" in z:
+        verify_row = {int(k): r for r, k in enumerate(z["kf_verify_ids"])}
+        vh, vw, vlvl = (int(v) for v in z["kf_verify_meta"])
     odo.keyframes = []
     for k in range(n_kf):
         cloud = None
@@ -137,12 +152,20 @@ def load_checkpoint(path: str, system) -> int:
                 normals=jnp.asarray(z["kf_cloud_normals"][r]),
                 mask=jnp.asarray(z["kf_cloud_mask"][r]),
             )
+        verify = None
+        if k in verify_row:
+            from tpuslam.frontend import VerifyTable
+
+            verify = VerifyTable(
+                packed=jnp.asarray(z["kf_verify_packed"][verify_row[k]]),
+                height=vh, width=vw, level=vlvl)
         odo.keyframes.append(
             KeyframeRecord(
                 index=int(z["kf_indices"][k]),
                 timestamp=float(z["kf_timestamps"][k]),
                 T_world_kf=z["kf_poses"][k].astype(np.float32),
                 cloud=cloud,
+                verify=verify,
             )
         )
     odo.protected_kf_ids = (
