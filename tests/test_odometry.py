@@ -59,3 +59,17 @@ def test_scan_odometry_matches_host():
     est = np.asarray(poses)
     check_trajectory(gt, est, tol_rmse=0.01)
     assert np.all(np.asarray(inliers)[1:] > 0.3)
+
+
+def test_decimate2_matches_strided_slice():
+    """The MXU one-hot column-select decimation (TPU branch of
+    frontend.decimate2) must reproduce d[::2, ::2] exactly — 0/1 × f32
+    products are exact even under the bf16-pass f32 matmul decomposition."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(rng.uniform(0.0, 5.0, size=(120, 160)).astype(np.float32))
+    sel = jnp.eye(d.shape[1], dtype=d.dtype)[:, ::2]
+    out = d[::2] @ sel                      # the TPU expression
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(d[::2, ::2]))

@@ -31,10 +31,19 @@ from jax.experimental.pallas import tpu as pltpu
 _BLOCK_ROWS = 32           # 32×128 = 4096 points per grid step
 _LANES = 128
 _NUM_OUT = 30              # 21 H + 6 b + wr² + Σvalid + Σw
+_OUT_ROWS = 32             # _NUM_OUT padded up to the (8,128)-tile multiple
 
 
 def _kernel(hd_ref, x0, x1, x2, q0, q1, q2, n0, n1, n2, w_ref, out_ref):
-    """One grid step: reduce a (BLOCK_ROWS, 128) slab of points."""
+    """One grid step: reduce a (BLOCK_ROWS, 128) slab of points.
+
+    Reductions stop at LANE PARTIALS: each of the 30 outputs is a (128,)
+    sublane-sum, written as one row of the step's (32, 128) output block,
+    and the caller folds grid and lanes in one cheap XLA reduce.  Full
+    scalar sums in-kernel were measured 25% slower (0.120 → 0.090 ms at
+    153k points) — 30 sequential cross-lane reductions per step serialize
+    on the VPU's shuffle path, while sublane sums stay element-parallel.
+    """
     huber_delta = hd_ref[0, 0]
     x = (x0[:], x1[:], x2[:])
     q = (q0[:], q1[:], q2[:])
@@ -62,21 +71,17 @@ def _kernel(hd_ref, x0, x1, x2, q0, q1, q2, n0, n1, n2, w_ref, out_ref):
     for a in range(6):
         wja = w * j[a]
         for b in range(a, 6):
-            vals.append(jnp.sum(wja * j[b]))          # 21 upper-tri H entries
+            vals.append(jnp.sum(wja * j[b], axis=0))  # 21 upper-tri H rows
     wr = w * r
     for a in range(6):
-        vals.append(jnp.sum(wr * j[a]))               # 6 b entries
-    vals.append(jnp.sum(wr * r))                      # Σ w r²
-    vals.append(jnp.sum(wv))                          # Σ validity (inliers)
-    vals.append(jnp.sum(w))                           # Σ robust weight
-    vec = jnp.stack(vals)                             # (30,)
-    vec = jnp.concatenate(
-        [vec, jnp.zeros((_LANES - _NUM_OUT,), dtype=vec.dtype)]
-    ).reshape(1, _LANES)
-    # TPU blocks must be ≥ (8, 128): pad the step's partials into row 0 of
-    # an (8, 128) block, rows 1-7 zero (caller sums over everything).
+        vals.append(jnp.sum(wr * j[a], axis=0))       # 6 b rows
+    vals.append(jnp.sum(wr * r, axis=0))              # Σ w r²
+    vals.append(jnp.sum(wv, axis=0))                  # Σ validity (inliers)
+    vals.append(jnp.sum(w, axis=0))                   # Σ robust weight
+    mat = jnp.stack(vals)                             # (30, 128) lane partials
     out_ref[:] = jnp.concatenate(
-        [vec, jnp.zeros((7, _LANES), dtype=vec.dtype)], axis=0
+        [mat, jnp.zeros((_OUT_ROWS - _NUM_OUT, _LANES), dtype=mat.dtype)],
+        axis=0,
     )
 
 
@@ -121,27 +126,28 @@ def gn_reduce_pallas(x: jnp.ndarray, q: jnp.ndarray, n: jnp.ndarray,
     # Cost model for the Mosaic scheduler (SURVEY.md §5 tracing row):
     # ~130 VPU flops/point (residual 8, Huber 4, cross product 9, 21 H
     # outer-product terms + 6 b terms + wr² at ~3 each incl. the reduce);
-    # HBM traffic is the design point — each input float read once, 8·128
-    # floats written per grid step.
+    # HBM traffic is the design point — each input float read once, 32·128
+    # lane-partial floats written per grid step.
     n_padded = rows * _LANES
     cost = pl.CostEstimate(
         flops=130 * n_padded,
-        bytes_accessed=4 * (10 * n_padded + grid * 8 * _LANES),
+        bytes_accessed=4 * (10 * n_padded + grid * _OUT_ROWS * _LANES),
         transcendentals=0,
     )
     partials = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((grid * 8, _LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((grid * _OUT_ROWS, _LANES), x.dtype),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [plane_spec] * 10,
-        out_specs=pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_OUT_ROWS, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=cost,
         interpret=interpret,
     )(hd, *planes)
 
-    sums = jnp.sum(partials, axis=0)
+    # fold grid steps and lanes (rows _NUM_OUT.._OUT_ROWS are zero padding)
+    sums = partials.reshape(grid, _OUT_ROWS, _LANES).sum(axis=(0, 2))
     iu, ju = jnp.triu_indices(6)
     H = jnp.zeros((6, 6), dtype=x.dtype).at[iu, ju].set(sums[:21])
     H = H + jnp.triu(H, 1).T
