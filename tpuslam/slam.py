@@ -170,6 +170,7 @@ class SlamSystem:
                 self.graph.add_edge(anchor, k, T_ij, weight=2.0)
                 self._known_edges.add((anchor, k))
                 self.odo.protected_kf_ids.update((anchor, k))
+                self._bound_protected()
             elif k > 0:
                 prev = self.odo.keyframes[k - 1]
                 T_ij = np.linalg.inv(prev.T_world_kf.astype(np.float64)) @ (
@@ -269,8 +270,20 @@ class SlamSystem:
                 # closure anchors keep their clouds through sparsification —
                 # a revisited place stays verifiable on the next pass
                 self.odo.protected_kf_ids.update((c.i, c.j))
+                self._bound_protected()
                 self.closures.append(c)
         return bool(closures)
+
+    def _bound_protected(self) -> None:
+        """Cap the sparsification-protected anchor set so very long runs
+        with many closures can't quietly unbound cloud memory: protection
+        is a freshness heuristic (spatially diverse retention already keeps
+        SOME verifiable cloud near every mapped place), so keep only the
+        newest half-budget of anchor ids."""
+        cap = max(4, int(self.cfg.keyframe.max_keyframes) // 2)
+        if len(self.odo.protected_kf_ids) > cap:
+            keep = sorted(self.odo.protected_kf_ids)[-cap:]
+            self.odo.protected_kf_ids = set(keep)
 
     def _optimize(self) -> None:
         graph = self.graph.graph()
