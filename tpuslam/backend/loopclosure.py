@@ -18,20 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpuslam.backend.verify import flat_verify_scalars, passes_gates
 from tpuslam.config import ICPConfig, Intrinsics, PoseGraphConfig
 from tpuslam.geom import se3
 from tpuslam.geom.cloud import PointCloud
-from tpuslam.icp import (
-    FlatICP,
-    align_cloud_to_organized,
-    align_clouds,
-    flat_icp_scalars,
-)
-
-# column appended after the FlatICP block: smallest eigenvalue of the
-# normalized normal-coverage matrix (observability gate), computed on
-# device so one readback carries every gate input
-COVERAGE_COL = FlatICP.SIZE
+from tpuslam.icp import FlatICP, align_cloud_to_organized, align_clouds
 
 
 @partial(jax.jit, static_argnames=("icp_cfg",))
@@ -43,12 +34,8 @@ def _verify_jit(cloud_j: PointCloud, cloud_i: PointCloud,
     separate device fetches — ~125 ms per verification over the remote-TPU
     tunnel's ~25 ms round trips, multiplied by every candidate of every
     promotion."""
-    res = align_clouds(cloud_j, cloud_i, T_init, icp_cfg, use_grid=True)
-    Hr = res.H[:3, :3]
-    w_sum = jnp.maximum(jnp.trace(Hr), 1e-9)
-    cov = jnp.linalg.eigvalsh(Hr / w_sum)[0]
-    return jnp.concatenate(
-        [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
+    return flat_verify_scalars(
+        align_clouds(cloud_j, cloud_i, T_init, icp_cfg, use_grid=True))
 
 
 @partial(jax.jit, static_argnames=("icp_cfg",))
@@ -83,14 +70,9 @@ def _verify_projective_pairs_jit(tables: jnp.ndarray, clouds_j: PointCloud,
     traffic).  One dispatch per promotion."""
 
     def one(table, pts, nrm, msk, T0):
-        res = align_cloud_to_organized(
+        return flat_verify_scalars(align_cloud_to_organized(
             PointCloud(points=pts, normals=nrm, mask=msk),
-            table, h, w, K_lvl, T0, icp_cfg)
-        Hr = res.H[:3, :3]
-        w_sum = jnp.maximum(jnp.trace(Hr), 1e-9)
-        cov = jnp.linalg.eigvalsh(Hr / w_sum)[0]
-        return jnp.concatenate(
-            [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
+            table, h, w, K_lvl, T0, icp_cfg))
 
     return jax.vmap(one)(tables, clouds_j.points, clouds_j.normals,
                          clouds_j.mask, T_inits)
@@ -115,11 +97,16 @@ def propose_candidates(
     cfg: PoseGraphConfig,
     exclude_pairs: set[tuple[int, int]] | None = None,
     max_candidates: int = 4,
+    verifiable: np.ndarray | None = None,
 ) -> list[ClosureCandidate]:
     """Proximity-gated candidate pairs (i < j − lc_min_gap, |Δt| < radius).
 
     Returns closest-first, at most `max_candidates` (ICP verification is the
-    expensive step — don't flood it)."""
+    expensive step — don't flood it).  `verifiable` is an optional per-
+    keyframe bool mask: keyframes whose clouds were sparsified away must be
+    EXCLUDED BEFORE the max_candidates cap, or the closest few pairs can all
+    be unverifiable and starve the pass while verifiable pairs sit just
+    beyond the cap."""
     exclude_pairs = exclude_pairs or set()
     pos = np.asarray([T[:3, 3] for T in kf_poses], dtype=np.float32)
     k = len(pos)
@@ -130,10 +117,14 @@ def propose_candidates(
     # thousands of keyframes).  Eligible pairs: i < j − lc_min_gap and
     # within the proximity radius.
     d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
-    ii, jj = np.nonzero(
+    eligible = (
         (d < cfg.lc_max_dist)
         & (np.arange(k)[None, :] - np.arange(k)[:, None] > cfg.lc_min_gap)
     )
+    if verifiable is not None:
+        v = np.asarray(verifiable, dtype=bool)
+        eligible &= v[:, None] & v[None, :]
+    ii, jj = np.nonzero(eligible)
     order = np.argsort(d[ii, jj], kind="stable")
     for o in order:
         i, j = int(ii[o]), int(jj[o])
@@ -164,34 +155,29 @@ def verify_closure(
 
 
 def _gate_row(s: np.ndarray, pg_cfg: PoseGraphConfig) -> Closure | None:
-    """Apply the acceptance gates to one flat verification row."""
-    rms = float(s[FlatICP.RMS])
-    inl = float(s[FlatICP.INLIER_FRACTION])
-    if not bool(s[FlatICP.CONVERGED] > 0.5):
+    """Gate one flat verification row (backend.verify.passes_gates) and
+    wrap an accepted one as a Closure."""
+    if not passes_gates(s, pg_cfg):
         return None
-    if rms > pg_cfg.lc_max_residual or inl < pg_cfg.lc_min_inliers:
-        return None
-    # Observability gate: H[:3,:3] = Σw·nnᵀ.  If the inlier normals don't
-    # span 3-D (featureless-wall overlap), the estimate can slide in-plane
-    # with tiny residual — such a closure would only re-encode drift.
-    if float(s[COVERAGE_COL]) < pg_cfg.lc_min_normal_coverage:
-        return None
-    T = s[FlatICP.T].reshape(4, 4).astype(np.float64)
-    if not np.all(np.isfinite(T)):
-        return None
-    return Closure(i=-1, j=-1, T_ij=T, rms=rms, inlier_fraction=inl)
+    return Closure(
+        i=-1, j=-1,
+        T_ij=s[FlatICP.T].reshape(4, 4).astype(np.float64),
+        rms=float(s[FlatICP.RMS]),
+        inlier_fraction=float(s[FlatICP.INLIER_FRACTION]),
+    )
 
 
 def _pad_batch(live: list, max_candidates: int) -> list:
-    """Pad to the next power-of-two batch size (≤ max_candidates) with
-    repeats of the first entry: promotions typically propose 1-2 pairs, and
-    always padding to max_candidates would 2-4× the verification compute
-    (the vmapped while_loop runs every lane to the slowest's convergence).
-    Power-of-two bucketing caps the compile count at log₂(max_candidates)."""
+    """Pad to the next power-of-two batch size (capped at max_candidates)
+    with repeats of the first entry: promotions typically propose 1-2
+    pairs, and always padding to max_candidates would 2-4× the verification
+    compute (the vmapped while_loop runs every lane to the slowest's
+    convergence).  Bucketing bounds the distinct compiled batch sizes."""
+    assert 0 < len(live) <= max_candidates
     b = 1
     while b < len(live):
         b *= 2
-    b = min(b, max_candidates) if len(live) <= max_candidates else len(live)
+    b = min(b, max_candidates)
     return live + [live[0]] * (b - len(live))
 
 
@@ -219,11 +205,14 @@ def find_closures(
     """
     out: list[Closure] = []
     attempted: set[tuple[int, int]] = set()
-    cands = propose_candidates(kf_poses, pg_cfg, exclude_pairs, max_candidates)
+    verifiable = np.asarray([r.cloud is not None for r in keyframes], bool)
+    cands = propose_candidates(kf_poses, pg_cfg, exclude_pairs,
+                               max_candidates,
+                               verifiable=verifiable[: len(kf_poses)])
     live = []
     for c in cands:
         if keyframes[c.i].cloud is None or keyframes[c.j].cloud is None:
-            continue
+            continue   # defensive; proposal already filters unverifiable
         T_init = np.linalg.inv(np.asarray(kf_poses[c.i])) @ np.asarray(
             kf_poses[c.j])
         live.append((c.i, c.j, T_init.astype(np.float32)))
@@ -238,10 +227,17 @@ def find_closures(
         mask=jnp.stack([keyframes[j].cloud.mask for _, j, _ in padded]),
     )
     T_inits = jnp.asarray(np.stack([T for _, _, T in padded]))
-    projective = (K is not None and
-                  all(keyframes[i].verify is not None for i, _, _ in live))
+    # projective path requires UNIFORM tables — records restored from a
+    # checkpoint written under a different verify_level/resolution must not
+    # be stacked with (or intrinsics-scaled like) the current ones
+    v0 = keyframes[live[0][0]].verify
+    projective = (K is not None and v0 is not None and all(
+        keyframes[i].verify is not None
+        and keyframes[i].verify.packed.shape == v0.packed.shape
+        and (keyframes[i].verify.height, keyframes[i].verify.width,
+             keyframes[i].verify.level) == (v0.height, v0.width, v0.level)
+        for i, _, _ in live))
     if projective:
-        v0 = keyframes[live[0][0]].verify
         tables = jnp.stack([keyframes[i].verify.packed for i, _, _ in padded])
         s = np.asarray(_verify_projective_pairs_jit(
             tables, clouds_j, K.scaled(1.0 / (2 ** v0.level)), T_inits,

@@ -27,21 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpuslam.backend.verify import (
+    ROW_SIZE,
+    flat_verify_scalars,
+    passes_gates,
+)
 from tpuslam.config import ICPConfig, Intrinsics, PoseGraphConfig
 from tpuslam.geom.cloud import PointCloud
-from tpuslam.icp import (
-    FlatICP,
-    align_cloud_to_organized,
-    align_clouds,
-    flat_icp_scalars,
-)
-
-# column appended after the FlatICP block: smallest eigenvalue of the
-# normalized inlier normal-coverage matrix (the observability gate of
-# backend/loopclosure.verify_closure, computed on device so the host
-# needs no second readback)
-COVERAGE_COL = FlatICP.SIZE
-ROW_SIZE = FlatICP.SIZE + 1
+from tpuslam.icp import FlatICP, align_cloud_to_organized, align_clouds
 
 
 class Relocalization(NamedTuple):
@@ -67,12 +60,8 @@ def _batch_verify_jit(frame_cloud: PointCloud, kf_clouds: PointCloud,
 
     def one(pts, nrm, msk, T0):
         dst = PointCloud(points=pts, normals=nrm, mask=msk)
-        res = align_clouds(frame_cloud, dst, T0, icp_cfg, use_grid=True)
-        Hr = res.H[:3, :3]
-        w_sum = jnp.maximum(jnp.trace(Hr), 1e-9)
-        cov = jnp.linalg.eigvalsh(Hr / w_sum)[0]
-        return jnp.concatenate(
-            [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
+        return flat_verify_scalars(
+            align_clouds(frame_cloud, dst, T0, icp_cfg, use_grid=True))
 
     return jax.vmap(one)(kf_clouds.points, kf_clouds.normals,
                          kf_clouds.mask, T_inits)
@@ -89,26 +78,10 @@ def _batch_verify_projective_jit(frame_cloud: PointCloud,
     rows (see BASELINE.md roofline; the production path)."""
 
     def one(table, T0):
-        res = align_cloud_to_organized(frame_cloud, table, h, w, K_lvl, T0,
-                                       icp_cfg)
-        Hr = res.H[:3, :3]
-        w_sum = jnp.maximum(jnp.trace(Hr), 1e-9)
-        cov = jnp.linalg.eigvalsh(Hr / w_sum)[0]
-        return jnp.concatenate(
-            [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
+        return flat_verify_scalars(align_cloud_to_organized(
+            frame_cloud, table, h, w, K_lvl, T0, icp_cfg))
 
     return jax.vmap(one)(tables, T_inits)
-
-
-def _passes_gates(row: np.ndarray, pg_cfg: PoseGraphConfig) -> bool:
-    T = row[FlatICP.T].reshape(4, 4)
-    return (
-        bool(row[FlatICP.CONVERGED] > 0.5)
-        and float(row[FlatICP.RMS]) <= pg_cfg.lc_max_residual
-        and float(row[FlatICP.INLIER_FRACTION]) >= pg_cfg.lc_min_inliers
-        and float(row[COVERAGE_COL]) >= pg_cfg.lc_min_normal_coverage
-        and bool(np.all(np.isfinite(T)))
-    )
 
 
 def relocalize(
@@ -173,10 +146,17 @@ def relocalize(
 
     T_inits = jnp.asarray(
         np.stack([T for _, T in combos]).astype(np.float32))
-    projective = (K is not None and
-                  all(keyframes[k].verify is not None for k in cand_ids))
+    # projective only with UNIFORM tables (same shape/level) — mixed-level
+    # records (checkpoint written under another verify_level) fall back to
+    # the grid path rather than stacking ragged tables / mis-scaling K
+    v0 = keyframes[cand_ids[0]].verify
+    projective = (K is not None and v0 is not None and all(
+        keyframes[k].verify is not None
+        and keyframes[k].verify.packed.shape == v0.packed.shape
+        and (keyframes[k].verify.height, keyframes[k].verify.width,
+             keyframes[k].verify.level) == (v0.height, v0.width, v0.level)
+        for k in cand_ids))
     if projective:
-        v0 = keyframes[cand_ids[0]].verify
         tables = jnp.stack([keyframes[k].verify.packed for k, _ in combos])
         flat = _batch_verify_projective_jit(
             frame_cloud, tables, K.scaled(1.0 / (2 ** v0.level)), T_inits,
@@ -192,7 +172,7 @@ def relocalize(
     s = np.asarray(flat)            # the ONE host sync of the attempt
     for row_idx in range(n_live):
         row = s[row_idx]
-        if not _passes_gates(row, pg_cfg):
+        if not passes_gates(row, pg_cfg):
             continue
         kf_id = combos[row_idx][0]
         return Relocalization(

@@ -1,0 +1,50 @@
+"""Shared backend-verification plumbing (loop closure + relocalization).
+
+Both consumers verify a candidate alignment with the SAME evidence — an
+ICP result's flat scalars plus the normal-coverage observability
+eigenvalue, judged by the SAME four gates — so the row layout, the
+on-device scalar packing, and the gate predicate live here exactly once.
+The callers differ only in HOW they batch alignments (keyframe pairs vs a
+fixed lost frame against candidate keyframes) and in what they do with an
+accepted row.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.config import PoseGraphConfig
+from tpuslam.icp import FlatICP, ICPResult, flat_icp_scalars
+
+# column appended after the FlatICP block: smallest eigenvalue of the
+# normalized inlier normal-coverage matrix (Σw·nnᵀ)/Σw — the observability
+# gate, computed on device so ONE readback carries every gate input
+COVERAGE_COL = FlatICP.SIZE
+ROW_SIZE = FlatICP.SIZE + 1
+
+
+def flat_verify_scalars(res: ICPResult) -> jnp.ndarray:
+    """(ROW_SIZE,) f32: FlatICP scalars + the coverage eigenvalue (traceable)."""
+    Hr = res.H[:3, :3]
+    w_sum = jnp.maximum(jnp.trace(Hr), 1e-9)
+    cov = jnp.linalg.eigvalsh(Hr / w_sum)[0]
+    return jnp.concatenate(
+        [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
+
+
+def passes_gates(row: np.ndarray, pg_cfg: PoseGraphConfig) -> bool:
+    """Acceptance gates over one flat verification row: converged, residual
+    RMS, inlier fraction, normal-coverage observability, finite pose.
+
+    If the inlier normals don't span 3-D (featureless-wall overlap) the
+    estimate can slide in-plane with tiny residual — such a "closure" would
+    only re-encode drift, hence the coverage gate."""
+    T = row[FlatICP.T].reshape(4, 4)
+    return (
+        bool(row[FlatICP.CONVERGED] > 0.5)
+        and float(row[FlatICP.RMS]) <= pg_cfg.lc_max_residual
+        and float(row[FlatICP.INLIER_FRACTION]) >= pg_cfg.lc_min_inliers
+        and float(row[COVERAGE_COL]) >= pg_cfg.lc_min_normal_coverage
+        and bool(np.all(np.isfinite(T)))
+    )

@@ -70,6 +70,11 @@ def decimate2(d: jnp.ndarray) -> jnp.ndarray:
     """
     if jax.default_backend() != "tpu":
         return d[::2, ::2]
+    # NaN depth (a common invalid-pixel convention; backproject masks it)
+    # must not ride the matmul — 0·NaN = NaN would poison the whole
+    # decimated row.  0 is the canonical invalid value and yields the same
+    # per-pixel mask downstream (0 < depth_min).
+    d = jnp.where(jnp.isfinite(d), d, 0.0)
     w = d.shape[1]
     sel = jnp.eye(w, dtype=d.dtype)[:, ::2]       # compile-time constant
     return d[::2] @ sel

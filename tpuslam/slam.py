@@ -359,6 +359,9 @@ class SlamSystem:
         }
         with self._lock:
             self.graph.set_poses(poses)
+            # BA moved every initial guess — failed closure pairs may
+            # verify now (same invariant as _optimize)
+            self._failed_pairs.clear()
             self.odo.T_world_kf = poses[n - 1]
             for idx in range(n):
                 rec = self.odo.keyframes[idx]

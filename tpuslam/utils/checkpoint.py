@@ -73,7 +73,14 @@ def save_checkpoint(path: str, system, frame_idx: int) -> None:
     vt = [(k, r.verify) for k, r in enumerate(odo.keyframes)
           if r.verify is not None]
     if vt:
+        # one meta triple covers the stack — skip tables that don't match
+        # the first's shape/level (possible after resuming a checkpoint
+        # written under a different verify_level; mixed shapes can't stack)
         v0 = vt[0][1]
+        vt = [(k, v) for k, v in vt
+              if v.packed.shape == v0.packed.shape
+              and (v.height, v.width, v.level) == (v0.height, v0.width,
+                                                   v0.level)]
         data["kf_verify_ids"] = np.asarray([k for k, _ in vt], dtype=np.int32)
         data["kf_verify_packed"] = np.stack(
             [np.asarray(v.packed) for _, v in vt])
