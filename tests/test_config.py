@@ -26,3 +26,26 @@ def test_partial_json_overrides_defaults():
     # untouched knobs keep their defaults
     assert cfg.icp.max_corr_dist == ICPConfig().max_corr_dist
     assert cfg.height == SLAMConfig().height
+
+
+def test_validate_accepts_defaults_and_rejects_bad():
+    import pytest
+
+    from tpuslam.config import ICPConfig, SLAMConfig
+
+    SLAMConfig().validate()          # defaults are valid
+
+    with pytest.raises(ValueError, match="iters_per_level"):
+        SLAMConfig(icp=ICPConfig(pyramid_levels=4)).validate()
+    with pytest.raises(ValueError, match="finest_subsample"):
+        SLAMConfig(icp=ICPConfig(finest_subsample=3)).validate()
+    with pytest.raises(ValueError, match="solver"):
+        import dataclasses
+
+        from tpuslam.config import PoseGraphConfig
+        SLAMConfig(posegraph=PoseGraphConfig(solver="qr")).validate()
+    with pytest.raises(ValueError, match="under 8 px"):
+        SLAMConfig(height=24, width=24,
+                   icp=ICPConfig(pyramid_levels=3)).validate()
+    with pytest.raises(ValueError, match="cv_damping"):
+        SLAMConfig(cv_damping=1.0).validate()

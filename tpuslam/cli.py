@@ -83,9 +83,9 @@ def _load_config(path):
     from tpuslam.config import SLAMConfig
 
     if path is None:
-        return SLAMConfig()
+        return SLAMConfig().validate()
     with open(path) as f:
-        return SLAMConfig.from_json(f.read())
+        return SLAMConfig.from_json(f.read()).validate()
 
 
 def _run_pipeline(args, use_slam: bool) -> int:

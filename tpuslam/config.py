@@ -250,6 +250,54 @@ class SLAMConfig:
     def replace(self, **kw) -> "SLAMConfig":
         return dataclasses.replace(self, **kw)
 
+    def validate(self) -> "SLAMConfig":
+        """Raise ValueError with a clear message for config mistakes that
+        would otherwise surface as cryptic trace-time shape errors deep in
+        jit (static-shape discipline: capacities and level tuples ARE the
+        compiled program).  Returns self for chaining."""
+        icp = self.icp
+        errs = []
+        if icp.pyramid_levels < 1:
+            errs.append("icp.pyramid_levels must be ≥ 1")
+        if len(icp.iters_per_level) < icp.pyramid_levels:
+            errs.append(
+                f"icp.iters_per_level has {len(icp.iters_per_level)} entries "
+                f"for {icp.pyramid_levels} pyramid levels (index 0 = finest)")
+        for name in ("tol_delta_per_level", "inner_steps_per_level",
+                     "level_subsample"):
+            v = getattr(icp, name)
+            if v is not None and len(v) > icp.pyramid_levels:
+                errs.append(f"icp.{name} has more entries than pyramid levels")
+        if icp.finest_subsample not in (1, 2, 4):
+            errs.append("icp.finest_subsample must be 1, 2 or 4")
+        if icp.level_subsample is not None and any(
+                f not in (1, 2, 4) for f in icp.level_subsample):
+            errs.append("icp.level_subsample entries must be 1, 2 or 4")
+        if self.posegraph.solver not in ("auto", "dense", "cg"):
+            errs.append("posegraph.solver must be 'auto', 'dense' or 'cg'")
+        for name, v in (("voxel.capacity", self.voxel.capacity),
+                        ("voxel.map_capacity", self.voxel.map_capacity),
+                        ("posegraph.max_nodes", self.posegraph.max_nodes),
+                        ("posegraph.max_edges", self.posegraph.max_edges),
+                        ("keyframe.max_keyframes",
+                         self.keyframe.max_keyframes)):
+            if v < 1:
+                errs.append(f"{name} must be ≥ 1")
+        if (self.height >> (icp.pyramid_levels - 1)) < 8 or (
+                self.width >> (icp.pyramid_levels - 1)) < 8:
+            errs.append(
+                f"{icp.pyramid_levels} pyramid levels on a {self.height}×"
+                f"{self.width} frame leaves the coarsest level under 8 px")
+        if self.depth_scale <= 0:
+            errs.append("depth_scale must be > 0")
+        if not 0.0 <= self.cv_damping <= 0.5:
+            errs.append("cv_damping must be in [0, 0.5] — full constant-"
+                        "velocity extrapolation feedback-diverges with "
+                        "nearest-pixel association (see field comment)")
+        if errs:
+            raise ValueError("invalid SLAMConfig:\n  - " + "\n  - ".join(errs))
+        return self
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
