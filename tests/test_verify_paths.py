@@ -1,0 +1,101 @@
+"""Backend verification plumbing (backend/verify.py) and its edge cases:
+gate semantics, the projective/grid fallback on mixed retained tables, and
+the NaN guard in the TPU decimation expression."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.backend.verify import COVERAGE_COL, ROW_SIZE, passes_gates
+from tpuslam.config import PoseGraphConfig
+from tpuslam.icp import FlatICP
+
+
+def _good_row(pg: PoseGraphConfig) -> np.ndarray:
+    row = np.zeros((ROW_SIZE,), np.float32)
+    row[FlatICP.T] = np.eye(4, dtype=np.float32).reshape(16)
+    row[FlatICP.CONVERGED] = 1.0
+    row[FlatICP.RMS] = pg.lc_max_residual * 0.5
+    row[FlatICP.INLIER_FRACTION] = pg.lc_min_inliers + 0.1
+    row[FlatICP.NUM_INLIERS] = 500.0
+    row[COVERAGE_COL] = pg.lc_min_normal_coverage * 2
+    return row
+
+
+def test_each_gate_rejects_independently():
+    pg = PoseGraphConfig()
+    assert passes_gates(_good_row(pg), pg)
+    for col, bad in (
+        (FlatICP.CONVERGED, 0.0),
+        (FlatICP.RMS, pg.lc_max_residual * 2),
+        (FlatICP.INLIER_FRACTION, pg.lc_min_inliers * 0.5),
+        (COVERAGE_COL, pg.lc_min_normal_coverage * 0.5),
+    ):
+        row = _good_row(pg)
+        row[col] = bad
+        assert not passes_gates(row, pg), col
+    row = _good_row(pg)
+    row[0] = np.nan            # non-finite pose
+    assert not passes_gates(row, pg)
+
+
+def test_mixed_verify_tables_fall_back_to_grid(monkeypatch):
+    """Records whose retained tables differ in level/shape (e.g. restored
+    from a checkpoint written under another verify_level) must take the
+    grid path — never stack ragged tables or mis-scale intrinsics."""
+    import tpuslam.backend.loopclosure as lc
+    from tests.test_slam import CFG, H, K, W, loop_trajectory
+    from tpuslam.data.synthetic import render_depth
+    from tpuslam.slam import SlamSystem
+
+    n = 14
+    gt = loop_trajectory(30)[:n]
+    depths = np.stack([render_depth(gt[i], K, H, W, seed=i)
+                       for i in range(n)])
+    slam = SlamSystem(K, CFG, enable_loop_closure=False)
+    for i in range(n):
+        slam.process(depths[i], timestamp=i / 30.0)
+    kfs = slam.odo.keyframes
+    assert len(kfs) >= 4 and all(r.verify is not None for r in kfs)
+
+    calls = {"grid": 0, "proj": 0}
+    real_grid = lc._verify_pairs_jit
+    real_proj = lc._verify_projective_pairs_jit
+    monkeypatch.setattr(lc, "_verify_pairs_jit", lambda *a, **k: (
+        calls.__setitem__("grid", calls["grid"] + 1), real_grid(*a, **k))[1])
+    monkeypatch.setattr(
+        lc, "_verify_projective_pairs_jit", lambda *a, **k: (
+            calls.__setitem__("proj", calls["proj"] + 1),
+            real_proj(*a, **k))[1])
+
+    pg = dataclasses.replace(CFG.posegraph, lc_min_gap=1, lc_max_dist=2.0)
+    poses = [r.T_world_kf.astype(np.float64) for r in kfs]
+
+    # uniform tables → projective path
+    lc.find_closures(kfs, poses, CFG.icp, pg, K=K)
+    assert calls["proj"] == 1 and calls["grid"] == 0
+
+    # corrupt one candidate's table meta → grid fallback, no crash
+    v = kfs[0].verify
+    kfs[0] = kfs[0]._replace(verify=v._replace(level=v.level + 1))
+    lc.find_closures(kfs, poses, CFG.icp, pg, K=K)
+    assert calls["grid"] == 1
+
+    # missing K → grid fallback
+    lc.find_closures(kfs, poses, CFG.icp, pg, K=None)
+    assert calls["grid"] == 2
+
+
+def test_mxu_decimation_contains_nan():
+    """The one-hot select decimation must not let 0·NaN poison a row (the
+    TPU expression, evaluated on CPU for exactness)."""
+    d = np.full((8, 16), 2.0, np.float32)
+    d[3, 5] = np.nan
+    dj = jnp.asarray(d)
+    dj = jnp.where(jnp.isfinite(dj), dj, 0.0)
+    sel = jnp.eye(16, dtype=jnp.float32)[:, ::2]
+    out = np.asarray(dj[::2] @ sel)
+    assert np.isfinite(out).all()
+    ref = np.where(np.isfinite(d), d, 0.0)[::2, ::2]
+    np.testing.assert_array_equal(out, ref)
