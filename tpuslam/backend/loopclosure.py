@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuslam.backend.verify import flat_verify_scalars, passes_gates
+from tpuslam.backend.verify import (
+    flat_verify_scalars,
+    passes_gates,
+    uniform_verify_table,
+)
 from tpuslam.config import ICPConfig, Intrinsics, PoseGraphConfig
 from tpuslam.geom import se3
 from tpuslam.geom.cloud import PointCloud
@@ -115,8 +119,12 @@ def propose_candidates(
         return cands
     # Fully vectorized proposal — no Python pair loop (a K² scan at
     # thousands of keyframes).  Eligible pairs: i < j − lc_min_gap and
-    # within the proximity radius.
-    d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+    # within the proximity radius.  d² via the Gram expansion keeps the
+    # peak temporary at one K×K f32 (the K²×3 broadcast would triple it).
+    pos = pos - pos.mean(axis=0)     # bound the f32 cancellation error
+    sq = np.einsum("kd,kd->k", pos, pos)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (pos @ pos.T)
+    d = np.sqrt(np.maximum(d2, 0.0))
     eligible = (
         (d < cfg.lc_max_dist)
         & (np.arange(k)[None, :] - np.arange(k)[:, None] > cfg.lc_min_gap)
@@ -227,17 +235,9 @@ def find_closures(
         mask=jnp.stack([keyframes[j].cloud.mask for _, j, _ in padded]),
     )
     T_inits = jnp.asarray(np.stack([T for _, _, T in padded]))
-    # projective path requires UNIFORM tables — records restored from a
-    # checkpoint written under a different verify_level/resolution must not
-    # be stacked with (or intrinsics-scaled like) the current ones
-    v0 = keyframes[live[0][0]].verify
-    projective = (K is not None and v0 is not None and all(
-        keyframes[i].verify is not None
-        and keyframes[i].verify.packed.shape == v0.packed.shape
-        and (keyframes[i].verify.height, keyframes[i].verify.width,
-             keyframes[i].verify.level) == (v0.height, v0.width, v0.level)
-        for i, _, _ in live))
-    if projective:
+    v0 = (uniform_verify_table(keyframes, [i for i, _, _ in live])
+          if K is not None else None)
+    if v0 is not None:
         tables = jnp.stack([keyframes[i].verify.packed for i, _, _ in padded])
         s = np.asarray(_verify_projective_pairs_jit(
             tables, clouds_j, K.scaled(1.0 / (2 ** v0.level)), T_inits,

@@ -31,6 +31,7 @@ from tpuslam.backend.verify import (
     ROW_SIZE,
     flat_verify_scalars,
     passes_gates,
+    uniform_verify_table,
 )
 from tpuslam.config import ICPConfig, Intrinsics, PoseGraphConfig
 from tpuslam.geom.cloud import PointCloud
@@ -146,17 +147,9 @@ def relocalize(
 
     T_inits = jnp.asarray(
         np.stack([T for _, T in combos]).astype(np.float32))
-    # projective only with UNIFORM tables (same shape/level) — mixed-level
-    # records (checkpoint written under another verify_level) fall back to
-    # the grid path rather than stacking ragged tables / mis-scaling K
-    v0 = keyframes[cand_ids[0]].verify
-    projective = (K is not None and v0 is not None and all(
-        keyframes[k].verify is not None
-        and keyframes[k].verify.packed.shape == v0.packed.shape
-        and (keyframes[k].verify.height, keyframes[k].verify.width,
-             keyframes[k].verify.level) == (v0.height, v0.width, v0.level)
-        for k in cand_ids))
-    if projective:
+    v0 = (uniform_verify_table(keyframes, cand_ids)
+          if K is not None else None)
+    if v0 is not None:
         tables = jnp.stack([keyframes[k].verify.packed for k, _ in combos])
         flat = _batch_verify_projective_jit(
             frame_cloud, tables, K.scaled(1.0 / (2 ** v0.level)), T_inits,

@@ -33,6 +33,26 @@ def flat_verify_scalars(res: ICPResult) -> jnp.ndarray:
         [flat_icp_scalars(res), cov[None].astype(jnp.float32)])
 
 
+def uniform_verify_table(records, ids):
+    """The shared VerifyTable meta of keyframe `ids` — or None.
+
+    The projective verification batch stacks retained tables, so every
+    candidate must carry one with IDENTICAL shape and (height, width,
+    level); mixed records (e.g. restored from a checkpoint written under a
+    different verify_level) make the caller fall back to the grid path
+    rather than stacking ragged tables or mis-scaling intrinsics."""
+    v0 = records[ids[0]].verify
+    if v0 is None:
+        return None
+    for k in ids:
+        v = records[k].verify
+        if (v is None or v.packed.shape != v0.packed.shape
+                or (v.height, v.width, v.level)
+                != (v0.height, v0.width, v0.level)):
+            return None
+    return v0
+
+
 def passes_gates(row: np.ndarray, pg_cfg: PoseGraphConfig) -> bool:
     """Acceptance gates over one flat verification row: converged, residual
     RMS, inlier fraction, normal-coverage observability, finite pose.

@@ -102,7 +102,15 @@ def _run_pipeline(args, use_slam: bool) -> int:
     if getattr(args, "intrinsics", None):
         from tpuslam.config import Intrinsics
 
-        K = Intrinsics(*(float(v) for v in args.intrinsics.split(",")))
+        try:
+            vals = [float(v) for v in args.intrinsics.split(",")]
+        except ValueError:
+            vals = []
+        if len(vals) != 4 or vals[0] <= 0 or vals[1] <= 0:
+            raise ValueError(
+                f"--intrinsics must be FX,FY,CX,CY with FX,FY > 0 "
+                f"(got {args.intrinsics!r})")
+        K = Intrinsics(*vals)
     else:
         K = seq.intrinsics
     system = (

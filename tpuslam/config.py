@@ -283,6 +283,9 @@ class SLAMConfig:
                          self.keyframe.max_keyframes)):
             if v < 1:
                 errs.append(f"{name} must be ≥ 1")
+        if self.keyframe.sparsify_protect_recent < 1:
+            errs.append("keyframe.sparsify_protect_recent must be ≥ 1 (the "
+                        "active tracking keyframe must keep its cloud)")
         if (self.height >> (icp.pyramid_levels - 1)) < 8 or (
                 self.width >> (icp.pyramid_levels - 1)) < 8:
             errs.append(
@@ -310,8 +313,14 @@ class SLAMConfig:
             "keyframe": KeyframeConfig,
             "posegraph": PoseGraphConfig,
         }
+        top_fields = {f.name for f in dataclasses.fields(cls)}
         kw = {}
         for k, v in raw.items():
+            if k not in top_fields:
+                # same cross-version tolerance as nested fields below
+                import sys
+                print(f"config: ignoring unknown field {k}", file=sys.stderr)
+                continue
             if k in sub and isinstance(v, dict):
                 # JSON has no tuples; per-level knobs must be hashable
                 # (configs are static jit args).  Unknown keys are dropped

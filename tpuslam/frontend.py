@@ -294,8 +294,19 @@ class Odometry:
         self.frame_refs: list[tuple[int, np.ndarray]] = []
         self.last_pyr = None  # most recent preprocessed frame (map tracking)
         # keyframe ids whose clouds must survive sparsification (the SLAM
-        # backend registers loop-closure / relocalization anchors here)
-        self.protected_kf_ids: set[int] = set()
+        # backend registers loop-closure / relocalization anchors here),
+        # mapped to a recency sequence so the bound evicts the LEAST
+        # RECENTLY RE-CONFIRMED anchor — anchors are old keyframes by
+        # construction, so evicting by id would drop exactly the
+        # most-revisited places first
+        self.protected_kf_ids: dict[int, int] = {}
+        self._protect_seq = 0
+
+    def protect(self, *ids: int) -> None:
+        """Mark keyframes as sparsification-protected, refreshing recency."""
+        for k in ids:
+            self._protect_seq += 1
+            self.protected_kf_ids[k] = self._protect_seq
 
     def _kf_cloud(self, pyr) -> PointCloud:
         return _kf_cloud_jit(
@@ -352,7 +363,8 @@ class Odometry:
             return
         protected = set(self.protected_kf_ids)
         protected.add(0)
-        protected.update(retained[-recent:])
+        if recent > 0:           # -0 would slice the WHOLE list (protect all)
+            protected.update(retained[-recent:])
         pos = np.stack([
             self.keyframes[k].T_world_kf[:3, 3].astype(np.float64)
             for k in retained

@@ -169,7 +169,7 @@ class SlamSystem:
                 anchor, T_ij = self._pending_reloc_edges.pop(k)
                 self.graph.add_edge(anchor, k, T_ij, weight=2.0)
                 self._known_edges.add((anchor, k))
-                self.odo.protected_kf_ids.update((anchor, k))
+                self.odo.protect(anchor, k)
                 self._bound_protected()
             elif k > 0:
                 prev = self.odo.keyframes[k - 1]
@@ -269,7 +269,7 @@ class SlamSystem:
                 self._known_edges.add((c.i, c.j))
                 # closure anchors keep their clouds through sparsification —
                 # a revisited place stays verifiable on the next pass
-                self.odo.protected_kf_ids.update((c.i, c.j))
+                self.odo.protect(c.i, c.j)
                 self._bound_protected()
                 self.closures.append(c)
         return bool(closures)
@@ -278,12 +278,15 @@ class SlamSystem:
         """Cap the sparsification-protected anchor set so very long runs
         with many closures can't quietly unbound cloud memory: protection
         is a freshness heuristic (spatially diverse retention already keeps
-        SOME verifiable cloud near every mapped place), so keep only the
-        newest half-budget of anchor ids."""
+        SOME verifiable cloud near every mapped place), so evict the LEAST
+        RECENTLY RE-CONFIRMED anchors — every new closure on a place
+        refreshes its anchors via Odometry.protect, so the most-revisited
+        keyframes stay protected regardless of how old their ids are."""
         cap = max(4, int(self.cfg.keyframe.max_keyframes) // 2)
-        if len(self.odo.protected_kf_ids) > cap:
-            keep = sorted(self.odo.protected_kf_ids)[-cap:]
-            self.odo.protected_kf_ids = set(keep)
+        prot = self.odo.protected_kf_ids
+        if len(prot) > cap:
+            keep = sorted(prot, key=prot.__getitem__)[-cap:]
+            self.odo.protected_kf_ids = {k: prot[k] for k in keep}
 
     def _optimize(self) -> None:
         graph = self.graph.graph()

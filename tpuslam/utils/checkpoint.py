@@ -19,7 +19,12 @@ import numpy as np
 from tpuslam.frontend import KeyframeRecord, Odometry
 from tpuslam.geom.cloud import PointCloud
 
-_FORMAT_VERSION = 1
+# v2: keyframe clouds are stored as a kf_cloud_ids-keyed SUBSET (holes from
+# sparsification) + optional verification tables; v1 stored a dense
+# per-keyframe stack.  Loading accepts both; writing always emits v2 so a
+# v1-only binary refuses the file instead of mis-assigning cloud rows.
+_FORMAT_VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 
 
 def _is_slam(system) -> bool:
@@ -117,7 +122,7 @@ def load_checkpoint(path: str, system) -> int:
     from tpuslam.icp import Frame
 
     z = np.load(path, allow_pickle=False)
-    if int(z["version"]) != _FORMAT_VERSION:
+    if int(z["version"]) not in _READABLE_VERSIONS:
         raise ValueError(f"unknown checkpoint version {z['version']}")
     odo: Odometry = system.odo if _is_slam(system) else system
     odo.timestamps = [float(t) for t in z["timestamps"]]
@@ -175,9 +180,10 @@ def load_checkpoint(path: str, system) -> int:
                 verify=verify,
             )
         )
+    # recency sequence is not persisted — restored anchors start equal
     odo.protected_kf_ids = (
-        {int(i) for i in z["protected_kf_ids"]}
-        if "protected_kf_ids" in z else set())
+        {int(i): 0 for i in z["protected_kf_ids"]}
+        if "protected_kf_ids" in z else {})
     if _is_slam(system) and "graph_num_nodes" in z:
         g = system.graph
         g.num_nodes = int(z["graph_num_nodes"])
