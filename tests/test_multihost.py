@@ -80,6 +80,22 @@ ref = VoxelMap(vcfg)
 ref.insert(cloud, np.eye(4, dtype=np.float32))
 print("FUSION", int(stats.dropped), svm.size(), int(ref.cloud.count()),
       flush=True)
+
+# --- ring-sharded frame-to-map ICP across the two processes: map shards
+# ppermute between REAL processes each iteration; must recover the pose ---
+from tpuslam.config import ICPConfig
+from tpuslam.dist.ring_map import align_to_map_ring
+from tpuslam.geom import se3
+
+icp_cfg = ICPConfig(pyramid_levels=1, iters_per_level=(30,),
+                    max_corr_dist=0.25)
+tau = jnp.array([0.01, -0.008, 0.012, 0.01, -0.006, 0.008])
+T_true = se3.exp(tau)
+moved = cloud.transform(T_true)
+res = align_to_map_ring(moved, cloud, jnp.eye(4), icp_cfg, mesh)
+T_est = np.asarray(jax.device_get(res.T))
+err = float(np.abs(T_est @ np.asarray(T_true) - np.eye(4)).max())
+print("RING_ERR", err, flush=True)
 """
 
 
@@ -125,3 +141,5 @@ def test_two_process_collectives_and_distba(tmp_path):
         dropped, got, want = (int(v) for v in line.split()[1:4])
         assert dropped == 0, line
         assert got == want, f"fusion voxel count differs across hosts: {line}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RING_ERR")][0]
+        assert float(line.split()[1]) < 5e-3, line
