@@ -100,6 +100,45 @@ def test_solver_auto_switches_and_agrees():
         np.asarray(poses_dense)[: g.num_nodes], atol=1e-3)
 
 
+def test_solver_auto_keys_on_live_count(monkeypatch):
+    """A small LIVE graph in grown storage must solve dense at the live
+    bucket, not pay CG for its capacity high-water mark (VERDICT r3 #6)."""
+    import tpuslam.backend.posegraph as pg
+
+    cfg = PoseGraphConfig(max_nodes=16, max_edges=32, gn_iters=8,
+                          damping=1e-6, solver="auto", dense_max_nodes=64)
+    g = _chain_graph(20, cfg)          # 20 live nodes
+    g.ensure_capacity(nodes=300)       # storage high-water mark: 512 slots
+    assert g.node_capacity == 512 > cfg.dense_max_nodes
+
+    graph = g.graph(bucketed=True)
+    # bucket = pow2(max(20, 32)) = 32 — the dense solve dispatches small
+    assert graph.poses.shape[0] == 32
+    assert int(np.asarray(graph.node_mask).sum()) == 20
+
+    picked = []
+    real_dense = pg.optimize_pose_graph
+    real_cg = pg.optimize_pose_graph_cg
+    monkeypatch.setattr(pg, "optimize_pose_graph",
+                        lambda *a, **k: picked.append("dense")
+                        or real_dense(*a, **k))
+    monkeypatch.setattr(pg, "optimize_pose_graph_cg",
+                        lambda *a, **k: picked.append("cg")
+                        or real_cg(*a, **k))
+    poses, _ = pg.optimize(graph, cfg, live_nodes=g.num_nodes)
+    assert picked == ["dense"]
+    # ... and agrees with the full-capacity solve on the live nodes
+    poses_full, _ = real_dense(g.graph(), cfg)
+    np.testing.assert_allclose(np.asarray(poses)[: g.num_nodes],
+                               np.asarray(poses_full)[: g.num_nodes],
+                               atol=1e-5)
+    # past the threshold the live count sends auto to CG even when the
+    # bucket equals a dense-friendly shape
+    picked.clear()
+    pg.optimize(graph, cfg, live_nodes=cfg.dense_max_nodes + 1)
+    assert picked == ["cg"]
+
+
 def _record(k: int, x: float, with_cloud: bool = True) -> KeyframeRecord:
     T = np.eye(4, dtype=np.float32)
     T[0, 3] = x

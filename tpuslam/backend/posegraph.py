@@ -121,16 +121,38 @@ class GraphHost:
         self._edge_w[e] = weight
         self.num_edges += 1
 
-    def graph(self) -> PoseGraph:
-        mask = np.zeros((self.node_capacity,), dtype=bool)
+    @staticmethod
+    def _bucket(n: int, floor: int, cap: int) -> int:
+        """Smallest power of two ≥ max(n, floor), clamped to `cap`."""
+        b = floor
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
+    def graph(self, bucketed: bool = False) -> PoseGraph:
+        """Snapshot as a fixed-capacity PoseGraph.
+
+        `bucketed=True` slices the padded storage down to the smallest
+        power-of-two bucket holding the LIVE node/edge counts before the
+        device sees it: a 260-live-node graph whose storage doubled to 512
+        slots dispatches at 512 (pow2 of 260), but a 100-live-node graph in
+        the same storage dispatches at 128 — the solver cost tracks the
+        trajectory, not its high-water mark, while shapes stay static per
+        bucket (log₂ distinct compiles, same as capacity doubling).
+        """
+        n_cap, e_cap = self.node_capacity, self.edge_capacity
+        if bucketed:
+            n_cap = self._bucket(self.num_nodes, 32, n_cap)
+            e_cap = self._bucket(self.num_edges, 64, e_cap)
+        mask = np.zeros((n_cap,), dtype=bool)
         mask[: self.num_nodes] = True
         return PoseGraph(
-            poses=jnp.asarray(self._poses),
+            poses=jnp.asarray(self._poses[:n_cap]),
             node_mask=jnp.asarray(mask),
-            edge_i=jnp.asarray(self._edge_i),
-            edge_j=jnp.asarray(self._edge_j),
-            edge_T=jnp.asarray(self._edge_T),
-            edge_weight=jnp.asarray(self._edge_w),
+            edge_i=jnp.asarray(self._edge_i[:e_cap]),
+            edge_j=jnp.asarray(self._edge_j[:e_cap]),
+            edge_T=jnp.asarray(self._edge_T[:e_cap]),
+            edge_weight=jnp.asarray(self._edge_w[:e_cap]),
         )
 
     def set_poses(self, poses: np.ndarray) -> None:
@@ -362,17 +384,21 @@ def optimize_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig,
 
 
 def optimize(graph: PoseGraph, cfg: PoseGraphConfig,
-             huber_delta: float = 0.5):
+             huber_delta: float = 0.5, live_nodes: int | None = None):
     """Solver-dispatching entry point: cfg.solver ∈ {"auto", "dense", "cg"}.
 
-    "auto" picks dense Cholesky while the graph's (static, padded) node
-    capacity is ≤ cfg.dense_max_nodes and the matrix-free block-CG solver
-    beyond — the (6N)² materialization + O(N³) factorization stop paying
-    for themselves around a few hundred nodes."""
+    "auto" picks dense Cholesky while the node count is ≤
+    cfg.dense_max_nodes and the matrix-free block-CG solver beyond — the
+    (6N)² materialization + O(N³) factorization stop paying for themselves
+    around a few hundred nodes.  Pass `live_nodes` (the host-known live
+    count) so the switch tracks the actual trajectory rather than the
+    padded capacity; pair with `GraphHost.graph(bucketed=True)` so the
+    dense solve also DISPATCHES at the live bucket, not the high-water
+    capacity."""
     solver = getattr(cfg, "solver", "auto")
     if solver == "auto":
-        n_cap = graph.poses.shape[0]
-        solver = ("dense" if n_cap <= getattr(cfg, "dense_max_nodes", 256)
+        n = live_nodes if live_nodes is not None else graph.poses.shape[0]
+        solver = ("dense" if n <= getattr(cfg, "dense_max_nodes", 256)
                   else "cg")
     if solver == "cg":
         return optimize_pose_graph_cg(

@@ -289,8 +289,11 @@ class SlamSystem:
             self.odo.protected_kf_ids = {k: prot[k] for k in keep}
 
     def _optimize(self) -> None:
-        graph = self.graph.graph()
-        poses, _cost = optimize(graph, self.cfg.posegraph)
+        # bucketed view + live count: solver choice AND dispatch shape track
+        # the live trajectory, not the storage high-water mark
+        graph = self.graph.graph(bucketed=True)
+        poses, _cost = optimize(graph, self.cfg.posegraph,
+                                live_nodes=self.graph.num_nodes)
         poses = np.asarray(poses, dtype=np.float32)
         self.graph.set_poses(poses)
         # optimization moved the initial guesses — failed pairs may verify now
@@ -349,7 +352,7 @@ class SlamSystem:
             kf_ids=jnp.asarray(np.asarray(kf_ids, dtype=np.int32)),
         )
         poses, _map_pts, cost = optimize_map_ba(
-            self.graph.graph(), prob, self.cfg.posegraph,
+            self.graph.graph(bucketed=True), prob, self.cfg.posegraph,
             huber_delta=self.cfg.icp.huber_delta,
         )
         poses = np.asarray(poses, dtype=np.float32)
