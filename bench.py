@@ -19,6 +19,7 @@ def main() -> int:
         "icp_iter_latency_ms": round(r["icp_iter_latency_ms"], 3),
         "ate_rmse_m": round(r["ate_rmse_m"], 6),
         "loader_fps": round(r["loader"]["decode_fps"], 1),
+        "loader_cached_fps": round(r["loader"]["cached_fps"], 1),
         "device": r["device"],
         "frames": r["frames"],
     }

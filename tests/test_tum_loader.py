@@ -120,6 +120,56 @@ def test_ate_invariant_to_global_transform(rng):
     assert m["rmse"] < 1e-9
 
 
+def test_depth_cache_roundtrip_and_invalidation(tmp_path):
+    """First full iteration publishes the raw-depth sidecar; cached reads
+    are bit-exact; depth.txt mtime or scale changes invalidate it."""
+    import os
+
+    write_tum_sequence(str(tmp_path), 5, K, H, W)
+    seq = TumSequence(str(tmp_path))
+    assert seq._open_cache(5000.0) is None
+    ref = [f.depth.copy() for f in seq.frames()]      # builds the sidecar
+    assert (tmp_path / "depth_cache.npy").exists()
+    assert (tmp_path / "depth_cache.json").exists()
+
+    seq2 = TumSequence(str(tmp_path))
+    assert seq2._open_cache(5000.0) is not None
+    got = [f.depth for f in seq2.frames()]
+    assert len(got) == 5
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+    # a different depth scale must not read the stale cache
+    assert seq2._open_cache(1000.0) is None
+    f_rescaled = seq2.frame(0, depth_scale=1000.0)
+    np.testing.assert_allclose(f_rescaled.depth, ref[0] * 5.0, rtol=1e-6)
+
+    # bump depth.txt's mtime → sidecar is stale
+    p = tmp_path / "depth.txt"
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    seq3 = TumSequence(str(tmp_path))
+    assert seq3._open_cache(5000.0) is None
+    # ... and a fresh full pass republishes a valid one
+    list(seq3.frames())
+    assert seq3._open_cache(5000.0) is not None
+
+
+def test_depth_cache_partial_iteration_not_published(tmp_path):
+    """An abandoned or windowed iteration must not publish a sidecar."""
+    write_tum_sequence(str(tmp_path), 5, K, H, W)
+    seq = TumSequence(str(tmp_path))
+    gen = seq.frames()
+    next(gen)
+    gen.close()
+    assert not (tmp_path / "depth_cache.npy").exists()
+    assert not (tmp_path / "depth_cache.npy.tmp").exists()
+    list(seq.frames(start=1))                # windowed: no build attempted
+    assert not (tmp_path / "depth_cache.npy").exists()
+    seq_off = TumSequence(str(tmp_path), depth_cache=False)
+    list(seq_off.frames())
+    assert not (tmp_path / "depth_cache.npy").exists()
+
+
 def test_rgb_association_and_decode(tmp_path):
     """rgb.txt parsing + depth<->rgb timestamp association (SURVEY §2a R1)."""
     from tpuslam.config import Intrinsics

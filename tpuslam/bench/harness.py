@@ -48,7 +48,7 @@ def bench_loader(height: int, width: int, frames: int = 40) -> dict:
     with tempfile.TemporaryDirectory() as root:
         K = Intrinsics(525.0, 525.0, width / 2 - 0.5, height / 2 - 0.5)
         write_tum_sequence(root, frames, K, height, width)
-        seq = TumSequence(root)
+        seq = TumSequence(root, depth_cache=False)
         # warm the page cache
         for f in seq.frames():
             pass
@@ -57,8 +57,20 @@ def bench_loader(height: int, width: int, frames: int = 40) -> dict:
         for f in seq.frames():
             n += 1
         wall = time.perf_counter() - t0
+        # decode-once sidecar path (VERDICT r3 #5): first full pass of a
+        # cache-enabled sequence publishes raw f32 depth; repeat runs
+        # memmap-stream it, bypassing PNG decode entirely
+        seq_c = TumSequence(root)
+        for f in seq_c.frames():       # build + publish
+            pass
+        t0 = time.perf_counter()
+        nc = 0
+        for f in TumSequence(root).frames():
+            nc += 1
+        wall_c = time.perf_counter() - t0
     return {
         "decode_fps": n / wall,
+        "cached_fps": nc / wall_c,
         "native": _tum_native is not None,
     }
 

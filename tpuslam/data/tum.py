@@ -177,10 +177,20 @@ def matrix_to_quaternion(R: np.ndarray) -> np.ndarray:
 
 
 class TumSequence:
-    """A TUM RGB-D sequence directory: depth frames + optional groundtruth."""
+    """A TUM RGB-D sequence directory: depth frames + optional groundtruth.
+
+    `depth_cache=True` (default) enables the decode-once raw-depth sidecar:
+    the first full iteration of a sequence writes the decoded float32 depth
+    to `<root>/depth_cache.npy` (np.lib.format — memmap-able) and subsequent
+    runs stream from it, bypassing PNG decode entirely (the measured host
+    bottleneck: ~360 fps decode vs ~670 fps device tracking on a 2-core
+    box).  The sidecar is invalidated by `depth.txt` mtime/size and by a
+    depth-scale mismatch; an unwritable dataset directory silently disables
+    caching.
+    """
 
     def __init__(self, root: str, max_difference: float = 0.02,
-                 load_rgb: bool = False):
+                 load_rgb: bool = False, depth_cache: bool = True):
         self.root = root
         self.name = os.path.basename(os.path.normpath(root))
         calib = os.path.join(root, "intrinsics.txt")
@@ -213,6 +223,9 @@ class TumSequence:
             warnings.warn(
                 f"load_rgb=True but timestamp association between depth.txt "
                 f"and rgb.txt produced zero matches in {root}", stacklevel=2)
+        self.depth_cache = depth_cache
+        self._cache_mm: Optional[np.ndarray] = None   # read-only memmap
+        self._cache_scale: Optional[float] = None
 
     def __len__(self) -> int:
         return len(self.depth_list)
@@ -228,9 +241,95 @@ class TumSequence:
         T[:3, 3] = [tx, ty, tz]
         return T
 
+    # ---- decode-once raw-depth sidecar (SURVEY.md §7 Stage 7) ----
+
+    def _cache_paths(self) -> tuple[str, str]:
+        return (os.path.join(self.root, "depth_cache.npy"),
+                os.path.join(self.root, "depth_cache.json"))
+
+    def _depth_txt_stamp(self) -> tuple[int, int]:
+        st = os.stat(os.path.join(self.root, "depth.txt"))
+        return int(st.st_mtime_ns), int(st.st_size)
+
+    def _open_cache(self, depth_scale: float) -> Optional[np.ndarray]:
+        """Return the read-only depth memmap when the sidecar is valid."""
+        if not self.depth_cache:
+            return None
+        if self._cache_mm is not None and self._cache_scale == depth_scale:
+            return self._cache_mm
+        npy, meta_path = self._cache_paths()
+        try:
+            import json
+
+            with open(meta_path) as f:
+                meta = json.load(f)
+            mtime_ns, size = self._depth_txt_stamp()
+            if (meta["n_frames"] != len(self.depth_list)
+                    or meta["depth_scale"] != depth_scale
+                    or meta["depth_txt_mtime_ns"] != mtime_ns
+                    or meta["depth_txt_size"] != size):
+                return None
+            mm = np.load(npy, mmap_mode="r")
+            if mm.shape[0] != len(self.depth_list) or mm.dtype != np.float32:
+                return None
+        except (OSError, ValueError, KeyError):
+            return None
+        self._cache_mm = mm
+        self._cache_scale = depth_scale
+        return mm
+
+    def _build_cache(self, depth_scale: float):
+        """Start a sidecar build: returns (write_row, finalize) or None.
+
+        The build writes decoded rows into a temporary memmap and only
+        publishes (atomic rename + metadata) when EVERY frame was written —
+        an abandoned iteration leaves no partial cache behind."""
+        if not self.depth_cache or not os.access(self.root, os.W_OK):
+            return None
+        npy, meta_path = self._cache_paths()
+        tmp = npy + ".tmp"
+        n = len(self.depth_list)
+        try:
+            h, w = self.frame(0, depth_scale).depth.shape
+            mm = np.lib.format.open_memmap(
+                tmp, mode="w+", dtype=np.float32, shape=(n, h, w))
+        except OSError:
+            return None
+        written = set()
+
+        def write_row(i: int, depth: np.ndarray) -> None:
+            if depth.shape == mm.shape[1:]:
+                mm[i] = depth
+                written.add(i)
+
+        def finalize() -> None:
+            mm.flush()
+            if len(written) != n:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                return
+            import json
+
+            mtime_ns, size = self._depth_txt_stamp()
+            os.replace(tmp, npy)     # atomic publish (same filesystem)
+            with open(meta_path, "w") as f:
+                json.dump({"n_frames": n, "depth_scale": depth_scale,
+                           "depth_txt_mtime_ns": mtime_ns,
+                           "depth_txt_size": size,
+                           "shape": [h, w]}, f)
+
+        return write_row, finalize
+
     def frame(self, index: int, depth_scale: float = 5000.0) -> TumFrame:
         ts, (rel_path, *_) = self.depth_list[index]
-        depth = _decode_depth_png(os.path.join(self.root, rel_path), depth_scale)
+        mm = self._open_cache(depth_scale)
+        if mm is not None:
+            depth = np.asarray(mm[index])
+        else:
+            depth = _decode_depth_png(
+                os.path.join(self.root, rel_path), depth_scale)
         rgb = None
         j = self._rgb_matches.get(index)
         if j is not None:
@@ -257,16 +356,32 @@ class TumSequence:
         if decode_threads is None:
             decode_threads = min(4, os.cpu_count() or 1)
         prefetch = max(prefetch, decode_threads)
+        # first full pass over an uncached sequence builds the raw-depth
+        # sidecar as a byproduct (one memcpy per frame; published atomically
+        # only when the iteration completes)
+        build = None
+        if (start == 0 and stop == len(self)
+                and self._open_cache(depth_scale) is None):
+            build = self._build_cache(depth_scale)
         with ThreadPoolExecutor(max_workers=max(1, decode_threads)) as ex:
             from collections import deque
 
             pending: "deque" = deque()
             idx = start
-            while idx < stop or pending:
-                while idx < stop and len(pending) < prefetch:
-                    pending.append(ex.submit(self.frame, idx, depth_scale))
-                    idx += 1
-                yield pending.popleft().result()
+            out_idx = start
+            try:
+                while idx < stop or pending:
+                    while idx < stop and len(pending) < prefetch:
+                        pending.append(ex.submit(self.frame, idx, depth_scale))
+                        idx += 1
+                    f = pending.popleft().result()
+                    if build is not None:
+                        build[0](out_idx, f.depth)
+                    out_idx += 1
+                    yield f
+            finally:
+                if build is not None:
+                    build[1]()
 
 
 def write_trajectory(path: str, timestamps: Sequence[float],
