@@ -29,8 +29,13 @@ def main() -> int:
         detail["slam_fps"] = round(r["slam"]["slam_fps"], 1)
         detail["slam_fps_async"] = round(r["slam"]["slam_fps_async"], 1)
         detail["async_gain"] = round(r["slam"]["async_gain"], 3)
+        detail["slam_fps_chunked"] = round(r["slam"]["slam_fps_chunked"], 1)
         detail["slam_ate_rmse_m"] = round(r["slam"]["slam_ate_rmse_m"], 6)
+        detail["slam_chunked_ate_rmse_m"] = round(
+            r["slam"]["slam_chunked_ate_rmse_m"], 6)
         detail["slam_loop_closures"] = r["slam"]["loop_closures"]
+        detail["slam_loop_closures_chunked"] = (
+            r["slam"]["loop_closures_chunked"])
     print(
         json.dumps(
             {

@@ -1,0 +1,137 @@
+"""Chunked device-side streaming for SlamSystem (VERDICT r3 #1).
+
+`process_chunk` amortizes the per-frame dispatch floor through a
+`lax.scan` carrying keyframe state; it must mirror the per-frame path's
+bookkeeping exactly — same keyframe decisions, same closures, same
+trajectory — and fall back to per-frame stepping on tracking loss.
+"""
+
+import numpy as np
+import pytest
+
+from tpuslam.config import (
+    ICPConfig,
+    Intrinsics,
+    KeyframeConfig,
+    PoseGraphConfig,
+    SLAMConfig,
+    VoxelConfig,
+)
+from tpuslam.data.synthetic import loop_trajectory, render_depth
+from tpuslam.eval.ate import ate_rmse
+from tpuslam.slam import SlamSystem
+
+K = Intrinsics(160.0, 160.0, 79.5, 59.5)
+H, W = 120, 160
+
+CFG = SLAMConfig(
+    height=H,
+    width=W,
+    icp=ICPConfig(pyramid_levels=3, iters_per_level=(12, 8, 8),
+                  max_corr_dist=0.25, huber_delta=0.05),
+    keyframe=KeyframeConfig(max_translation=0.08, max_rotation=0.12),
+    posegraph=PoseGraphConfig(max_nodes=64, max_edges=256, gn_iters=15,
+                              lc_min_gap=3, lc_max_dist=0.6,
+                              lc_max_residual=0.05, lc_min_inliers=0.3),
+    voxel=VoxelConfig(capacity=1 << 13, map_capacity=1 << 15),
+)
+
+FRAMES = 48
+
+
+@pytest.fixture(scope="module")
+def two_lap_sequence():
+    gt = loop_trajectory(FRAMES, cycles=2, radius=0.35)
+    depths = np.stack(
+        [render_depth(gt[i], K, H, W, seed=i) for i in range(FRAMES)]
+    ).astype(np.float32)
+    return gt, depths
+
+
+def _run_per_frame(depths):
+    slam = SlamSystem(K, CFG, enable_loop_closure=True)
+    for i in range(len(depths)):
+        slam.process(depths[i], timestamp=i / 30.0)
+    slam.finalize()
+    return slam
+
+
+def _run_chunked(depths, chunk: int):
+    slam = SlamSystem(K, CFG, enable_loop_closure=True)
+    ts = np.arange(len(depths)) / 30.0
+    for i in range(0, len(depths), chunk):
+        slam.process_chunk(depths[i:i + chunk], ts[i:i + chunk])
+    slam.finalize()
+    return slam
+
+
+def test_chunked_matches_per_frame(two_lap_sequence):
+    gt, depths = two_lap_sequence
+    ref = _run_per_frame(depths)
+    chk = _run_chunked(depths, chunk=8)
+
+    # identical keyframe decisions (the scan mirrors _promote_flags)
+    assert len(chk.odo.keyframes) == len(ref.odo.keyframes)
+    assert [r.index for r in chk.odo.keyframes] == [
+        r.index for r in ref.odo.keyframes]
+    # the loop must actually close in both drivers; the exact closure SET
+    # is order-dependent (per-frame interleaves proposals with tracking,
+    # chunked batches them at boundaries with the same per-promotion
+    # opportunity count) — require comparable coverage, and below, the
+    # metric that matters: the same trajectory
+    assert len(ref.closures) >= 1
+    assert len(chk.closures) >= max(1, len(ref.closures) // 2), (
+        len(ref.closures), len(chk.closures))
+
+    ts_r, est_r = ref.trajectory()
+    ts_c, est_c = chk.trajectory()
+    assert est_c.shape == est_r.shape
+    gt_ts = np.arange(FRAMES) / 30.0
+    m_r = ate_rmse(ts_r, est_r, gt_ts, gt, max_difference=0.005)
+    m_c = ate_rmse(ts_c, est_c, gt_ts, gt, max_difference=0.005)
+    assert m_r["rmse"] < 0.02 and m_c["rmse"] < 0.02, (m_r, m_c)
+    # the two drivers track the same trajectory (same math, different
+    # program — allow float-level divergence only)
+    d = np.linalg.norm(est_c[:, :3, 3] - est_r[:, :3, 3], axis=-1)
+    assert d.max() < 5e-3, d.max()
+
+
+def test_chunked_bootstrap_and_remainder(two_lap_sequence):
+    """A fresh system's first chunk seeds the keyframe per-frame; odd-size
+    remainder chunks work (each size is just a separate compile)."""
+    gt, depths = two_lap_sequence
+    slam = SlamSystem(K, CFG, enable_loop_closure=True)
+    ts = np.arange(FRAMES) / 30.0
+    out0 = slam.process_chunk(depths[:8], ts[:8])       # bootstrap chunk
+    assert out0.shape == (8, 4, 4)
+    assert len(slam.odo.keyframes) >= 1
+    out1 = slam.process_chunk(depths[8:16], ts[8:16])   # scan chunk
+    assert out1.shape == (8, 4, 4)
+    out2 = slam.process_chunk(depths[16:21], ts[16:21])  # remainder size 5
+    assert out2.shape == (5, 4, 4)
+    assert len(slam.odo.trajectory) == 21
+    assert len(slam.odo.frame_refs) == 21
+    assert slam.graph.num_nodes == len(slam.odo.keyframes)
+
+
+def test_chunked_lost_replays_per_frame(two_lap_sequence):
+    """A chunk containing an untrackable frame commits nothing and replays
+    per-frame, so loss accounting and relocalization engage."""
+    gt, depths = two_lap_sequence
+    depths = depths.copy()
+    depths[18:20] = 0.0                  # two garbage frames mid-sequence
+    slam = SlamSystem(K, CFG, enable_loop_closure=True)
+    ts = np.arange(FRAMES) / 30.0
+    for i in range(0, FRAMES, 8):
+        slam.process_chunk(depths[i:i + 8], ts[i:i + 8])
+    slam.finalize()
+    assert len(slam.odo.trajectory) == FRAMES
+    lost = [s.get("lost", False) for s in slam.odo.stats]
+    assert any(lost), "garbage frames must be recorded as lost"
+    ts_e, est = slam.trajectory()
+    assert np.all(np.isfinite(est))
+    # tracking recovers after the dropout (relocalization or re-lock):
+    # compare only the post-dropout segment against ground truth
+    m = ate_rmse(ts_e[24:], est[24:], np.arange(24, FRAMES) / 30.0, gt[24:],
+                 max_difference=0.005)
+    assert m["rmse"] < 0.05, m

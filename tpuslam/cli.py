@@ -59,6 +59,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--async-backend", action="store_true",
                    help="run loop closure + pose-graph optimization in a "
                         "worker thread overlapped with tracking")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="process frames in device-side chunks of this size "
+                        "(one dispatch + one readback per chunk via "
+                        "lax.scan; amortizes host dispatch latency; "
+                        "run_slam only — backend work runs at chunk "
+                        "boundaries, remainder frames step per-frame)")
     _add_distributed(p)
 
 
@@ -129,35 +135,67 @@ def _run_pipeline(args, use_slam: bool) -> int:
         print(f"resumed at frame {start}", file=sys.stderr)
 
     logger = JsonlLogger(args.log_jsonl) if args.log_jsonl else None
+    chunk = int(getattr(args, "chunk", 0) or 0)
+    if chunk > 1 and not use_slam:
+        raise ValueError("--chunk requires run_slam")
     t_start = time.perf_counter()
     n_done = 0
     from tpuslam.frontend import prefetch_to_device
 
-    for frame in prefetch_to_device(
-            seq.frames(depth_scale=cfg.depth_scale, start=start,
-                       stop=args.stop)):
-        t0 = time.perf_counter()
-        system.process(frame.depth, frame.timestamp)
-        ms = (time.perf_counter() - t0) * 1e3
-        n_done += 1
+    def after_frames(frames_done, per_frame_ms):
+        nonlocal n_done
         odo = system.odo if use_slam else system
-        if logger:
-            s = odo.stats[-1]
-            logger.write(
-                frame=odo.frame_idx - 1,
-                timestamp=frame.timestamp,
-                ms=ms,
-                **s,
-            )
-        if args.checkpoint and n_done % args.checkpoint_every == 0:
+        frame_base = odo.frame_idx - len(frames_done)
+        stat_base = len(odo.stats) - len(frames_done)
+        for k, frame in enumerate(frames_done):
+            n_done += 1
+            if logger:
+                logger.write(frame=frame_base + k, timestamp=frame.timestamp,
+                             ms=per_frame_ms, **odo.stats[stat_base + k])
+        if args.checkpoint and (n_done % args.checkpoint_every
+                                < len(frames_done)):
             save_checkpoint(args.checkpoint, system, odo.frame_idx)
         if getattr(args, "progress", False):
             s = odo.stats[-1]
             print(
-                f"\rframe {odo.frame_idx - 1}  {ms:6.1f} ms  "
+                f"\rframe {odo.frame_idx - 1}  {per_frame_ms:6.1f} ms  "
                 f"inl {s.get('inliers', 0):.2f}  kf {len(odo.keyframes)}",
                 end="", file=sys.stderr,
             )
+
+    stream = prefetch_to_device(
+        seq.frames(depth_scale=cfg.depth_scale, start=start, stop=args.stop))
+    if chunk > 1:
+        # device-side chunked streaming (SlamSystem.process_chunk): one
+        # dispatch + one readback per chunk; trailing remainder frames
+        # (and any chunk with tracking loss) step per-frame inside
+        buf: list = []
+
+        def flush():
+            if not buf:
+                return
+            t0 = time.perf_counter()
+            if len(buf) == chunk:
+                system.process_chunk([f.depth for f in buf],
+                                     [f.timestamp for f in buf])
+            else:              # remainder — avoid an odd-length compile
+                for f in buf:
+                    system.process(f.depth, f.timestamp)
+            ms = (time.perf_counter() - t0) * 1e3 / len(buf)
+            after_frames(buf, ms)
+            buf.clear()
+
+        for frame in stream:
+            buf.append(frame)
+            if len(buf) == chunk:
+                flush()
+        flush()
+    else:
+        for frame in stream:
+            t0 = time.perf_counter()
+            system.process(frame.depth, frame.timestamp)
+            ms = (time.perf_counter() - t0) * 1e3
+            after_frames([frame], ms)
     if getattr(args, "progress", False):
         print(file=sys.stderr)
     wall = time.perf_counter() - t_start

@@ -438,6 +438,83 @@ class ScanState(NamedTuple):
     last_delta: jnp.ndarray
 
 
+class FlatChunk:
+    """Per-frame column layout of `scan_chunk`'s (C, SIZE) readback matrix
+    (the chunked streaming protocol — one flat transfer per CHUNK).  Index
+    through these names, never literals (FlatTrack/FlatICP differ)."""
+
+    WORLD_T = slice(0, 16)     # T_world_cam, row-major
+    REL_T = slice(16, 32)      # T_kf_cam (pre-promotion, vs the frame's kf)
+    PROMOTE = 32
+    LOST = 33
+    ITERS = 34
+    RMS = 35
+    INLIER_FRACTION = 36
+    SIZE = 37
+
+
+def scan_chunk(depths: jnp.ndarray, K: Intrinsics, state: ScanState,
+               cfg: SLAMConfig):
+    """Track a fixed-size CHUNK of frames in one `lax.scan` dispatch.
+
+    The host-driven per-frame loop pays one ~25 ms tunnel round trip per
+    frame by construction (frontend.process_frame_jit is already minimal:
+    1 dispatch + 1 readback).  This amortizes the dispatch floor over C
+    frames: keyframe state (packed gather tables, poses, velocity) lives in
+    the scan carry exactly as in `scan_odometry`, promotion is a
+    cond-gated re-pack, and everything the host needs to mirror the
+    bookkeeping comes back as ONE (C, FlatChunk.SIZE) matrix.  The carry
+    returns device-resident so the next chunk chains without any upload
+    except the (host-corrected) keyframe pose.
+
+    Unlike `scan_odometry` (whole sequence, benchmark path) the chunk
+    driver keeps the HOST in the loop at chunk boundaries, so the pose
+    graph, loop closures, relocalization, and sparsification all run
+    unchanged between chunks (tpuslam/slam.py process_chunk).
+    """
+
+    def step(st: ScanState, depth):
+        pyr = preprocess(depth, K, cfg)
+        T0 = st.T_kf_cam @ damped_velocity(st.last_delta, cfg.cv_damping)
+        out = track_step_packed(st.kf_packed, pyr, K, T0, cfg)
+        T_world_cam = st.T_world_kf @ out.T_kf_cam
+        promote = out.promote
+
+        def sel(new, old):
+            return jnp.where(promote, new, old)
+
+        new_packed = jax.lax.cond(
+            promote,
+            lambda: pack_pyramid(pyr, cfg.icp),
+            lambda: st.kf_packed,
+        )
+        new_state = ScanState(
+            kf_packed=new_packed,
+            T_world_kf=sel(T_world_cam, st.T_world_kf),
+            T_kf_cam=sel(jnp.eye(4), out.T_kf_cam),
+            last_delta=se3.relative(st.T_kf_cam, out.T_kf_cam),
+        )
+        flat = jnp.concatenate([
+            T_world_cam.reshape(16).astype(jnp.float32),
+            out.T_kf_cam.reshape(16).astype(jnp.float32),
+            jnp.stack([
+                promote.astype(jnp.float32),
+                out.lost.astype(jnp.float32),
+                out.icp.iters.astype(jnp.float32),
+                out.icp.rms.astype(jnp.float32),
+                out.icp.inlier_fraction.astype(jnp.float32),
+            ]),
+        ])
+        return new_state, flat
+
+    return jax.lax.scan(step, state, depths)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def scan_chunk_jit(depths, K, state: ScanState, cfg: SLAMConfig):
+    return scan_chunk(depths, K, state, cfg)
+
+
 def scan_odometry(depths: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
     """Full-sequence odometry as one jitted `lax.scan` over frames.
 

@@ -418,6 +418,124 @@ class SlamSystem:
         self.relocalizations.append(r)
         return True
 
+    def process_chunk(self, depths, timestamps=None) -> np.ndarray:
+        """Process a CHUNK of frames with one device dispatch + one readback.
+
+        The per-frame `process` loop is dispatch-floor-bound over the
+        remote-TPU tunnel (~25 ms round trip per frame vs ~1.5 ms device
+        compute); this drives `frontend.scan_chunk` instead — keyframe
+        state carried on device through a `lax.scan`, all per-frame scalars
+        read back as one (C, FlatChunk.SIZE) matrix — and then mirrors the
+        exact per-frame bookkeeping on the host: keyframe records are
+        re-extracted from the (device-resident) promoted frames, the graph
+        syncs, loop closures and optimization run at the chunk boundary,
+        and pose corrections re-seed the next chunk's carry through
+        `odo.T_world_kf`.
+
+        Falls back to per-frame stepping (identical semantics, including
+        relocalization) when: the keyframe is not yet seeded, a frame in
+        the chunk reports tracking loss (the chunk commits nothing in that
+        case), or frame-to-map refinement is enabled (it is per-frame by
+        nature).  Keep the chunk length constant across calls — each
+        distinct length is a separate compile.
+
+        Returns (C, 4, 4) world←cam poses (as tracked; `trajectory()`
+        re-anchors on optimized keyframe poses as usual).
+        """
+        import jax.numpy as jnp
+
+        from tpuslam.frontend import (
+            FlatChunk,
+            ScanState,
+            pack_pyramid_jit,
+            preprocess_jit,
+            scan_chunk_jit,
+        )
+
+        depths = jnp.asarray(depths)
+        n = depths.shape[0]
+        if timestamps is None:
+            timestamps = [0.0] * n
+
+        def per_frame(i0: int) -> np.ndarray:
+            return np.stack([
+                self.process(depths[i], float(timestamps[i]))
+                for i in range(i0, n)
+            ])
+
+        odo = self.odo
+        if self.track_against_map or odo.kf_pyr is None:
+            # map refinement is per-frame by design; an unseeded keyframe
+            # means this is the first chunk — step it per-frame once rather
+            # than compile an odd-length scan for the remainder
+            return per_frame(0)
+        if odo.kf_packed is None:        # resumed from a checkpoint
+            odo.kf_packed = pack_pyramid_jit(odo.kf_pyr, self.cfg)
+        state = ScanState(
+            kf_packed=odo.kf_packed,
+            T_world_kf=jnp.asarray(odo.T_world_kf.astype(np.float32)),
+            T_kf_cam=jnp.asarray(odo.T_kf_cam),
+            last_delta=jnp.asarray(odo.last_delta),
+        )
+        new_state, ys = scan_chunk_jit(depths, odo.K, state, self.cfg)
+        s = np.asarray(ys)               # the ONE host sync of the chunk
+        if np.any(s[:, FlatChunk.LOST] > 0.5):
+            # tracking failed mid-chunk: nothing was committed above —
+            # replay the whole chunk per-frame so loss accounting and
+            # relocalization engage exactly as in streaming mode
+            return per_frame(0)
+        out = []
+        with self._lock:
+            for i in range(n):
+                row = s[i]
+                T_world_cam = row[FlatChunk.WORLD_T].reshape(4, 4).astype(
+                    np.float64)
+                promoted = bool(row[FlatChunk.PROMOTE] > 0.5)
+                if promoted:
+                    odo.T_world_kf = T_world_cam.astype(np.float32)
+                    pyr = preprocess_jit(depths[i], odo.K, self.cfg)
+                    odo._promote(pyr, float(timestamps[i]))
+                    odo.frame_refs.append((len(odo.keyframes) - 1, np.eye(4)))
+                else:
+                    odo.frame_refs.append((
+                        len(odo.keyframes) - 1,
+                        row[FlatChunk.REL_T].reshape(4, 4).astype(np.float64),
+                    ))
+                odo.stats.append({
+                    "iters": int(row[FlatChunk.ITERS]),
+                    "rms": float(row[FlatChunk.RMS]),
+                    "inliers": float(row[FlatChunk.INLIER_FRACTION]),
+                    "promoted": promoted,
+                    "lost": False,
+                })
+                odo.trajectory.append(T_world_cam)
+                odo.timestamps.append(float(timestamps[i]))
+                odo.frame_idx += 1
+                out.append(T_world_cam)
+            # commit the device-side carry AFTER the walk — _promote set
+            # kf_packed to its own (equal) re-pack of the last promotion
+            odo.kf_packed = new_state.kf_packed
+            odo.T_kf_cam = new_state.T_kf_cam
+            odo.last_delta = new_state.last_delta
+            odo.last_pyr = None      # per-frame pyramids are not retained
+            self._lost_streak = 0
+            self._reloc_backoff = self.reloc_after
+            kf_before = self._num_graph_nodes
+            new_kf = self._sync_graph_with_keyframes()
+            num_new = self._num_graph_nodes - kf_before
+        if new_kf:
+            if self.async_backend:
+                self._backend_queue.put(self._num_graph_nodes)
+            elif self.enable_loop_closure:
+                # the per-frame path gets one closure-attempt per promotion;
+                # give the chunk boundary the same number of opportunities
+                # (each is one batched verify dispatch), stopping when dry
+                for _ in range(num_new):
+                    if not self._attempt_loop_closure():
+                        break
+                    self._optimize()
+        return np.stack(out)
+
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
         with self._lock:
             self.odo.process(depth, timestamp)
