@@ -142,6 +142,21 @@ class ICPConfig:
     # residual count (hugely overdetermined) for gather rows exactly like
     # the finest level does.  None → (finest_subsample, 1, 1, ...).
     level_subsample: tuple | None = None
+    # Fully-fused projective GN step (kernels/gn_fused.py): transform,
+    # projection/normal gates, Huber and the JJᵀ reduction in ONE Pallas
+    # VMEM pass per GN solve.  The kernel itself is 14× faster than the
+    # unfused reduce (8.7 µs vs 0.12 ms at 153k points, measured round 4)
+    # — but OFF by default: its per-component plane prep costs ~0.5 ms of
+    # lane-deinterleave relayouts per iteration AND evicts the f16 packed
+    # table from VMEM, where XLA's allocator pins it on the legacy path
+    # (a VMEM-resident table gathers at 0.29 ms vs 1.70 ms from HBM —
+    # BASELINE.md round-4 roofline).  Net: 1.28 vs 0.34 ms/GN-step.  Keep
+    # False unless the target generation grows VMEM or Mosaic gains f16
+    # refs + cheap lane deinterleave; the kernel + oracle stay tested as
+    # the design is environment-bound, not wrong.  Projective-packed
+    # targets only — grid-hash and brute-force always use the legacy
+    # chain.
+    fused_gn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

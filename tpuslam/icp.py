@@ -169,6 +169,111 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
     )
 
 
+def _icp_loop_projective_fused(
+    packed: jnp.ndarray, height: int, width: int, K: Intrinsics,
+    src: PointCloud, T0: jnp.ndarray, cfg: ICPConfig, max_iters: int,
+    use_pallas: bool = False, inner_steps: int | None = None,
+    tol_delta: float | None = None,
+) -> ICPResult:
+    """Projective ICP driver with the FULLY-FUSED GN step
+    (kernels/gn_fused.py; BASELINE.md roofline, VERDICT r3 item 2).
+
+    Identical semantics to `_icp_loop` over `projective_correspond_packed`
+    — gates evaluated at the association pose, residuals at the updated
+    pose (frozen-association inner/outer ICP) — but the per-solve XLA
+    elementwise chain (transform, rotate, gates, 10-plane padding) folds
+    into one Pallas VMEM pass.  The association gather stays materialized
+    in XLA between index computation and the kernel (the 3.4× fusion trap,
+    BASELINE.md roofline #2).
+    """
+    from tpuslam.geom.backproject import project
+    from tpuslam.kernels.gn_fused import gn_fused_auto, prepare_source_planes
+
+    pallas_on = _use_pallas_now(use_pallas)
+    if inner_steps is None:
+        inner_steps = getattr(cfg, "inner_steps", 1)
+    inner = max(1, int(inner_steps))
+    if tol_delta is None:
+        tol_delta = cfg.tol_delta
+
+    # Loop-invariant: Σ source mask (XLA LICM hoists; denominator of the
+    # inlier fraction, same as the legacy path's stats.num_valid_src).
+    num_valid_src = jnp.sum(src.mask.astype(src.points.dtype))
+    # Legacy parity: projective_correspond_packed applies the normal gate
+    # only when normal_dot_min > 0; the kernel always evaluates it, so
+    # disable by threshold (cosines are ≥ −1, and zero/invalid normals
+    # yield ndot = 0 > −2).
+    ndmin = cfg.normal_dot_min if cfg.normal_dot_min > 0.0 else -2.0
+    # Source planes padded ONCE, outside the while loop — XLA's LICM does
+    # not hoist the multi-output slice/pad fusion out of the body
+    # (measured 0.47 ms/iteration re-paid at 153k points).
+    src_planes = prepare_source_planes(src.points, src.normals, src.mask) \
+        if pallas_on else None
+
+    def body(state: _CarryState) -> _CarryState:
+        with jax.named_scope("icp.correspond"):
+            # Index computation fuses transform+project into one XLA pass
+            # whose only output is the (N,) row index; the gather output is
+            # the kernel boundary.
+            x = se3.transform_points(state.T, src.points)
+            uv, _ = project(x, K)
+            ui = jnp.round(uv[..., 0]).astype(jnp.int32)
+            vi = jnp.round(uv[..., 1]).astype(jnp.int32)
+            flat = (jnp.clip(vi, 0, height - 1) * width
+                    + jnp.clip(ui, 0, width - 1))
+            # The barrier pins the gather to ONE materialized execution
+            # with the fast emitter: without it XLA duplicates the gather
+            # into each downstream unpack fusion (measured 7×), and a
+            # gather fused into a reduction consumer is 3.4× slower
+            # (BASELINE.md roofline #2).
+            rows = lax.optimization_barrier(packed[flat])
+        T_new = state.T
+        for _k in range(inner):
+            with jax.named_scope("icp.gn_fused"):
+                H, b, num_inliers, wsq = gn_fused_auto(
+                    src.points, src.normals, src.mask, rows,
+                    state.T, T_new, K, width, height,
+                    cfg.max_corr_dist, ndmin, cfg.huber_delta,
+                    use_pallas=pallas_on, src_planes=src_planes)
+            with jax.named_scope("icp.solve"):
+                delta = solve_gn_step(H, b, cfg.damping, cfg.damping_abs,
+                                      cfg.max_trans_step, cfg.max_rot_step)
+                T_new = se3.exp(delta) @ T_new
+        inl = jnp.maximum(num_inliers, 1.0)
+        return _CarryState(
+            T=T_new,
+            it=state.it + inner,
+            delta_sq=jnp.sum(delta * delta),
+            rms=jnp.sqrt(wsq / inl),
+            inlier_fraction=num_inliers / jnp.maximum(num_valid_src, 1.0),
+            H=H,
+            num_inliers=num_inliers,
+        )
+
+    def cond(state: _CarryState) -> jnp.ndarray:
+        return (state.it < max_iters) & (state.delta_sq > tol_delta ** 2)
+
+    init = _CarryState(
+        T=T0,
+        it=jnp.zeros((), jnp.int32),
+        delta_sq=jnp.full((), jnp.inf),
+        rms=jnp.full((), jnp.inf),
+        inlier_fraction=jnp.zeros(()),
+        H=jnp.zeros((6, 6), dtype=T0.dtype),
+        num_inliers=jnp.zeros(()),
+    )
+    out = lax.while_loop(cond, body, init)
+    return ICPResult(
+        T=out.T,
+        iters=out.it,
+        rms=out.rms,
+        inlier_fraction=out.inlier_fraction,
+        converged=out.delta_sq <= tol_delta ** 2,
+        H=out.H,
+        num_inliers=out.num_inliers,
+    )
+
+
 def align_clouds(src: PointCloud, dst: PointCloud, T0: jnp.ndarray,
                  cfg: ICPConfig, use_grid: bool = True) -> ICPResult:
     """Align two unorganized clouds (loop closure / map alignment path).
@@ -262,8 +367,13 @@ def align_map_to_frame(map_cloud: PointCloud, frame: "Frame", K: Intrinsics,
     )
     src = PointCloud(points=map_cloud.points, normals=map_cloud.normals,
                      mask=map_cloud.mask & in_view)
-    res = _icp_loop(correspond, src, S0, cfg, cfg.max_iters,
-                    use_pallas=use_pallas)
+    if getattr(cfg, "fused_gn", True):
+        res = _icp_loop_projective_fused(
+            packed, h, w, K, src, S0, cfg, cfg.max_iters,
+            use_pallas=use_pallas)
+    else:
+        res = _icp_loop(correspond, src, S0, cfg, cfg.max_iters,
+                        use_pallas=use_pallas)
     return res._replace(T=se3.inv(res.T))
 
 
@@ -289,6 +399,11 @@ def align_cloud_to_organized(src: PointCloud, packed: jnp.ndarray,
     `inlier_fraction` is measured against ALL valid source points (like the
     grid-hash path) so the overlap gates keep their meaning.
     """
+
+    if getattr(cfg, "fused_gn", True):
+        return _icp_loop_projective_fused(
+            packed, height, width, K, src, T0, cfg, cfg.max_iters,
+            use_pallas=use_pallas)
 
     def correspond(x, mask, n_rot):
         return projective_correspond_packed(
@@ -448,9 +563,14 @@ def align_frames_packed(
         inner = ipl[li] if ipl is not None and li < len(ipl) else None
         tpl = getattr(cfg, "tol_delta_per_level", None)
         tol = tpl[li] if tpl is not None and li < len(tpl) else None
-        result = _icp_loop(correspond, src_cloud, T, cfg, iters,
-                           use_pallas=use_pallas, inner_steps=inner,
-                           tol_delta=tol)
+        if getattr(cfg, "fused_gn", True):
+            result = _icp_loop_projective_fused(
+                packed, h, w, K_l, src_cloud, T, cfg, iters,
+                use_pallas=use_pallas, inner_steps=inner, tol_delta=tol)
+        else:
+            result = _icp_loop(correspond, src_cloud, T, cfg, iters,
+                               use_pallas=use_pallas, inner_steps=inner,
+                               tol_delta=tol)
         T = result.T
     return result
 
