@@ -112,23 +112,49 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
     inner = max(1, int(inner_steps))
     if tol_delta is None:
         tol_delta = cfg.tol_delta
+    interp = jax.default_backend() != "tpu"
+    # Loop-invariant inlier-fraction denominator (hoisted out of the body).
+    num_valid_src = jnp.sum(src.mask.astype(src.points.dtype))
 
-    def body(state: _CarryState) -> _CarryState:
-        # One correspondence gather per outer iteration (the dominant cost),
-        # then `inner` GN solves against the same association with the
-        # source re-transformed between solves (inner/outer ICP): the IRLS
-        # Huber reweighting still sees fresh residuals each inner step.
-        with jax.named_scope("icp.correspond"):
-            x = se3.transform_points(state.T, src.points)
-            n_rot = se3.rotate_vectors(state.T, src.normals)
-            corr = correspond_fn(x, src.mask, n_rot)
+    def _pallas_steps(state: _CarryState, x, corr) -> _CarryState:
+        """GN solves as TWO kernel launches each (reduce partials →
+        epilogue).  The XLA fold + 6×6 LU solve + se3.exp lower to ~100
+        tiny HLO ops costing ~0.14 ms of pure launch overhead per GN step
+        (round-4 roofline, BASELINE.md) — the epilogue kernel
+        (kernels/pallas_epilogue.py) collapses them into one launch."""
+        from tpuslam.kernels.pallas_epilogue import gn_epilogue_pallas
+        from tpuslam.kernels.pallas_gn import gn_reduce_partials_pallas
+
+        T_new = state.T
+        for k in range(inner):
+            if k > 0:
+                x = se3.transform_points(T_new, src.points)
+            with jax.named_scope("icp.gn_reduce"):
+                partials = gn_reduce_partials_pallas(
+                    x, corr.q, corr.n, corr.w, cfg.huber_delta,
+                    interpret=interp)
+            with jax.named_scope("icp.solve"):
+                T_new, H, delta_sq, wsq, ninl, _wsum = gn_epilogue_pallas(
+                    partials, T_new, cfg.damping, cfg.damping_abs,
+                    cfg.max_trans_step, cfg.max_rot_step, interpret=interp)
+        return _CarryState(
+            T=T_new,
+            it=state.it + inner,
+            delta_sq=delta_sq,
+            rms=jnp.sqrt(wsq / jnp.maximum(ninl, 1.0)),
+            inlier_fraction=ninl / jnp.maximum(num_valid_src, 1.0),
+            H=H,
+            num_inliers=ninl,
+        )
+
+    def _jnp_steps(state: _CarryState, x, corr) -> _CarryState:
         T_new = state.T
         for k in range(inner):
             if k > 0:
                 x = se3.transform_points(T_new, src.points)
             with jax.named_scope("icp.gn_reduce"):
                 stats = gn_reduce_auto(x, corr.q, corr.n, corr.w, src.mask,
-                                       cfg.huber_delta, use_pallas=pallas_on)
+                                       cfg.huber_delta, use_pallas=False)
             with jax.named_scope("icp.solve"):
                 delta = solve_gn_step(stats.H, stats.b, cfg.damping,
                                       cfg.damping_abs,
@@ -140,10 +166,23 @@ def _icp_loop(correspond_fn, src: PointCloud, T0: jnp.ndarray,
             it=state.it + inner,
             delta_sq=jnp.sum(delta * delta),
             rms=jnp.sqrt(stats.weighted_sq_sum / inl),
-            inlier_fraction=stats.num_inliers / jnp.maximum(stats.num_valid_src, 1.0),
+            inlier_fraction=stats.num_inliers / jnp.maximum(num_valid_src, 1.0),
             H=stats.H,
             num_inliers=stats.num_inliers,
         )
+
+    def body(state: _CarryState) -> _CarryState:
+        # One correspondence gather per outer iteration (the dominant cost),
+        # then `inner` GN solves against the same association with the
+        # source re-transformed between solves (inner/outer ICP): the IRLS
+        # Huber reweighting still sees fresh residuals each inner step.
+        with jax.named_scope("icp.correspond"):
+            x = se3.transform_points(state.T, src.points)
+            n_rot = se3.rotate_vectors(state.T, src.normals)
+            corr = correspond_fn(x, src.mask, n_rot)
+        if pallas_on:
+            return _pallas_steps(state, x, corr)
+        return _jnp_steps(state, x, corr)
 
     def cond(state: _CarryState) -> jnp.ndarray:
         return (state.it < max_iters) & (state.delta_sq > tol_delta ** 2)

@@ -95,17 +95,21 @@ def _pad_plane(v: jnp.ndarray, rows: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def gn_reduce_pallas(x: jnp.ndarray, q: jnp.ndarray, n: jnp.ndarray,
-                     w_valid: jnp.ndarray, huber_delta: jnp.ndarray,
-                     interpret: bool = False):
-    """Fused reduction; same math as `gn_reduce` minus `num_valid_src`.
+def gn_reduce_partials_pallas(x: jnp.ndarray, q: jnp.ndarray, n: jnp.ndarray,
+                              w_valid: jnp.ndarray, huber_delta: jnp.ndarray,
+                              interpret: bool = False):
+    """The reduce kernel, returning RAW (G·32, 128) lane partials.
+
+    Feed these straight to `kernels/pallas_epilogue.gn_epilogue_pallas` to
+    keep the fold + 6×6 solve + SE(3) update in one launch (the XLA-side
+    fold/solve lowers to ~100 tiny ops at ~0.14 ms of launch overhead per
+    GN step — the round-4 roofline's dominant non-gather cost).  Use
+    `gn_reduce_pallas` below when you want folded (H, b, stats) directly.
 
     Args:
       x, q, n: (N, 3) transformed source / matched target / target normals.
       w_valid: (N,) {0,1} validity (padding rows must be 0).
       huber_delta: scalar (traced — no recompile when tuning).
-    Returns:
-      (H (6,6), b (6,), num_inliers (), weighted_sq_sum (), w_sum ()).
     """
     N = x.shape[0]
     rows = -(-N // _LANES)
@@ -145,7 +149,21 @@ def gn_reduce_pallas(x: jnp.ndarray, q: jnp.ndarray, n: jnp.ndarray,
         cost_estimate=cost,
         interpret=interpret,
     )(hd, *planes)
+    return partials
 
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gn_reduce_pallas(x: jnp.ndarray, q: jnp.ndarray, n: jnp.ndarray,
+                     w_valid: jnp.ndarray, huber_delta: jnp.ndarray,
+                     interpret: bool = False):
+    """Folded reduction; same math as `gn_reduce` minus `num_valid_src`.
+
+    Returns:
+      (H (6,6), b (6,), num_inliers (), weighted_sq_sum (), w_sum ()).
+    """
+    partials = gn_reduce_partials_pallas(x, q, n, w_valid, huber_delta,
+                                         interpret=interpret)
+    grid = partials.shape[0] // _OUT_ROWS
     # fold grid steps and lanes (rows _NUM_OUT.._OUT_ROWS are zero padding)
     sums = partials.reshape(grid, _OUT_ROWS, _LANES).sum(axis=(0, 2))
     iu, ju = jnp.triu_indices(6)
