@@ -30,6 +30,11 @@ def main() -> int:
         detail["slam_fps_async"] = round(r["slam"]["slam_fps_async"], 1)
         detail["async_gain"] = round(r["slam"]["async_gain"], 3)
         detail["slam_fps_chunked"] = round(r["slam"]["slam_fps_chunked"], 1)
+        detail["slam_fps_chunked_async"] = round(
+            r["slam"]["slam_fps_chunked_async"], 1)
+        detail["slam_loop_closures_chunked_async"] = (
+            r["slam"]["loop_closures_chunked_async"])
+        detail["upload_fps_equiv"] = round(r["slam"]["upload_fps_equiv"], 1)
         detail["slam_ate_rmse_m"] = round(r["slam"]["slam_ate_rmse_m"], 6)
         detail["slam_chunked_ate_rmse_m"] = round(
             r["slam"]["slam_chunked_ate_rmse_m"], 6)

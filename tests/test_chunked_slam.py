@@ -96,6 +96,31 @@ def test_chunked_matches_per_frame(two_lap_sequence):
     assert d.max() < 5e-3, d.max()
 
 
+def test_chunked_async_backend_parity(two_lap_sequence):
+    """chunk streaming + async backend worker (the combination the TPU
+    benchmark reports as `slam_fps_chunked_async`): the worker gets one
+    queued fused verify+optimize attempt per promotion — same opportunity
+    count as the sync path — and finalize drains it, so keyframes and
+    trajectory must match and the loop must close comparably."""
+    gt, depths = two_lap_sequence
+    ref = _run_chunked(depths, chunk=8)
+
+    slam = SlamSystem(K, CFG, enable_loop_closure=True, async_backend=True)
+    ts = np.arange(len(depths)) / 30.0
+    for i in range(0, len(depths), 8):
+        slam.process_chunk(depths[i:i + 8], ts[i:i + 8])
+    slam.finalize()
+
+    assert [r.index for r in slam.odo.keyframes] == [
+        r.index for r in ref.odo.keyframes]
+    assert len(slam.closures) >= max(1, len(ref.closures) // 2), (
+        len(ref.closures), len(slam.closures))
+    ts_a, est_a = slam.trajectory()
+    gt_ts = np.arange(FRAMES) / 30.0
+    m_a = ate_rmse(ts_a, est_a, gt_ts, gt, max_difference=0.005)
+    assert m_a["rmse"] < 0.02, m_a
+
+
 def test_chunked_bootstrap_and_remainder(two_lap_sequence):
     """A fresh system's first chunk seeds the keyframe per-frame; odd-size
     remainder chunks work (each size is just a separate compile)."""

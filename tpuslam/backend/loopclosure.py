@@ -189,6 +189,80 @@ def _pad_batch(live: list, max_candidates: int) -> list:
     return live + [live[0]] * (b - len(live))
 
 
+def propose_and_verify(
+    keyframes,
+    kf_poses: Sequence[np.ndarray],
+    icp_cfg: ICPConfig,
+    pg_cfg: PoseGraphConfig,
+    exclude_pairs: set[tuple[int, int]] | None = None,
+    max_candidates: int = 4,
+    K: Intrinsics | None = None,
+):
+    """Propose + DISPATCH the verification batch, without syncing.
+
+    Returns `(live, rows_dev, attempted)`: the live `(i, j, T_init)`
+    candidate list (host), the (B, verify.ROW_SIZE) DEVICE array of flat
+    verification rows (B = power-of-two padded batch; rows ≥ len(live)
+    are padding repeats of row 0), and all attempted pairs.  `rows_dev`
+    is None when nothing was verifiable.  Callers that want the
+    fused-optimize path chain more device work onto `rows_dev` and sync
+    once (slam._attempt_loop_closure); `find_closures` below is the plain
+    sync wrapper.
+    """
+    attempted: set[tuple[int, int]] = set()
+    verifiable = np.asarray([r.cloud is not None for r in keyframes], bool)
+    cands = propose_candidates(kf_poses, pg_cfg, exclude_pairs,
+                               max_candidates,
+                               verifiable=verifiable[: len(kf_poses)])
+    live = []
+    for c in cands:
+        if keyframes[c.i].cloud is None or keyframes[c.j].cloud is None:
+            continue   # defensive; proposal already filters unverifiable
+        T_init = np.linalg.inv(np.asarray(kf_poses[c.i])) @ np.asarray(
+            kf_poses[c.j])
+        live.append((c.i, c.j, T_init.astype(np.float32)))
+        attempted.add((c.i, c.j))
+    if not live:
+        return live, None, attempted
+    padded = _pad_batch(live, max_candidates)
+    clouds_j = PointCloud(
+        points=jnp.stack([keyframes[j].cloud.points for _, j, _ in padded]),
+        normals=jnp.stack([keyframes[j].cloud.normals for _, j, _ in padded]),
+        mask=jnp.stack([keyframes[j].cloud.mask for _, j, _ in padded]),
+    )
+    T_inits = jnp.asarray(np.stack([T for _, _, T in padded]))
+    v0 = (uniform_verify_table(keyframes, [i for i, _, _ in live])
+          if K is not None else None)
+    if v0 is not None:
+        tables = jnp.stack([keyframes[i].verify.packed for i, _, _ in padded])
+        rows_dev = _verify_projective_pairs_jit(
+            tables, clouds_j, K.scaled(1.0 / (2 ** v0.level)), T_inits,
+            v0.height, v0.width, icp_cfg)
+    else:
+        clouds_i = PointCloud(
+            points=jnp.stack([keyframes[i].cloud.points
+                              for i, _, _ in padded]),
+            normals=jnp.stack([keyframes[i].cloud.normals
+                               for i, _, _ in padded]),
+            mask=jnp.stack([keyframes[i].cloud.mask for i, _, _ in padded]),
+        )
+        rows_dev = _verify_pairs_jit(clouds_i, clouds_j, T_inits, icp_cfg)
+    return live, rows_dev, attempted
+
+
+def gate_rows(live, s: np.ndarray, pg_cfg: PoseGraphConfig) -> list[Closure]:
+    """Host gating of readback rows → accepted Closures (paired with the
+    device-side backend.verify.passes_gates_traced — same values, same
+    compares, same decisions)."""
+    out: list[Closure] = []
+    for row_idx, (i, j, _) in enumerate(live):
+        v = _gate_row(s[row_idx], pg_cfg)
+        if v is not None:
+            out.append(Closure(i=i, j=j, T_ij=v.T_ij, rms=v.rms,
+                               inlier_fraction=v.inlier_fraction))
+    return out
+
+
 def find_closures(
     keyframes,
     kf_poses: Sequence[np.ndarray],
@@ -211,51 +285,9 @@ def find_closures(
     moves the initial guess (SlamSystem clears its failure memory on every
     optimize).
     """
-    out: list[Closure] = []
-    attempted: set[tuple[int, int]] = set()
-    verifiable = np.asarray([r.cloud is not None for r in keyframes], bool)
-    cands = propose_candidates(kf_poses, pg_cfg, exclude_pairs,
-                               max_candidates,
-                               verifiable=verifiable[: len(kf_poses)])
-    live = []
-    for c in cands:
-        if keyframes[c.i].cloud is None or keyframes[c.j].cloud is None:
-            continue   # defensive; proposal already filters unverifiable
-        T_init = np.linalg.inv(np.asarray(kf_poses[c.i])) @ np.asarray(
-            kf_poses[c.j])
-        live.append((c.i, c.j, T_init.astype(np.float32)))
-        attempted.add((c.i, c.j))
-    if not live:
-        return out, attempted
-    n_live = len(live)
-    padded = _pad_batch(live, max_candidates)
-    clouds_j = PointCloud(
-        points=jnp.stack([keyframes[j].cloud.points for _, j, _ in padded]),
-        normals=jnp.stack([keyframes[j].cloud.normals for _, j, _ in padded]),
-        mask=jnp.stack([keyframes[j].cloud.mask for _, j, _ in padded]),
-    )
-    T_inits = jnp.asarray(np.stack([T for _, _, T in padded]))
-    v0 = (uniform_verify_table(keyframes, [i for i, _, _ in live])
-          if K is not None else None)
-    if v0 is not None:
-        tables = jnp.stack([keyframes[i].verify.packed for i, _, _ in padded])
-        s = np.asarray(_verify_projective_pairs_jit(
-            tables, clouds_j, K.scaled(1.0 / (2 ** v0.level)), T_inits,
-            v0.height, v0.width, icp_cfg))
-    else:
-        clouds_i = PointCloud(
-            points=jnp.stack([keyframes[i].cloud.points
-                              for i, _, _ in padded]),
-            normals=jnp.stack([keyframes[i].cloud.normals
-                               for i, _, _ in padded]),
-            mask=jnp.stack([keyframes[i].cloud.mask for i, _, _ in padded]),
-        )
-        s = np.asarray(_verify_pairs_jit(clouds_i, clouds_j, T_inits,
-                                         icp_cfg))
-    for row_idx in range(n_live):
-        i, j, _ = live[row_idx]
-        v = _gate_row(s[row_idx], pg_cfg)
-        if v is not None:
-            out.append(Closure(i=i, j=j, T_ij=v.T_ij, rms=v.rms,
-                               inlier_fraction=v.inlier_fraction))
-    return out, attempted
+    live, rows_dev, attempted = propose_and_verify(
+        keyframes, kf_poses, icp_cfg, pg_cfg, exclude_pairs,
+        max_candidates, K)
+    if rows_dev is None:
+        return [], attempted
+    return gate_rows(live, np.asarray(rows_dev), pg_cfg), attempted

@@ -53,6 +53,28 @@ def uniform_verify_table(records, ids):
     return v0
 
 
+def passes_gates_traced(rows: "jnp.ndarray", pg_cfg: PoseGraphConfig):
+    """Traceable batch form of `passes_gates`: (B, ROW_SIZE) → (B,) f32
+    accept mask, bit-identical decisions (same f32 values, same compares).
+
+    Lets the pose-graph optimization consume freshly-verified candidate
+    edges ON DEVICE (weight = 2·accept) in the same dispatch chain as the
+    verification itself — the host then reads verification rows and
+    optimized poses back in ONE sync and mirrors these exact decisions
+    (slam.SlamSystem._attempt_loop_closure)."""
+    import jax.numpy as jnp
+
+    T = rows[:, FlatICP.T].reshape(-1, 4, 4)
+    ok = (
+        (rows[:, FlatICP.CONVERGED] > 0.5)
+        & (rows[:, FlatICP.RMS] <= pg_cfg.lc_max_residual)
+        & (rows[:, FlatICP.INLIER_FRACTION] >= pg_cfg.lc_min_inliers)
+        & (rows[:, COVERAGE_COL] >= pg_cfg.lc_min_normal_coverage)
+        & jnp.all(jnp.isfinite(T), axis=(1, 2))
+    )
+    return ok.astype(rows.dtype)
+
+
 def passes_gates(row: np.ndarray, pg_cfg: PoseGraphConfig) -> bool:
     """Acceptance gates over one flat verification row: converged, residual
     RMS, inlier fraction, normal-coverage observability, finite pose.

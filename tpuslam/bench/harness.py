@@ -113,26 +113,42 @@ def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
         [render_depth(gt[i], K, height, width, seed=i) for i in range(frames)]
     ).astype(np.float32)
 
+    import jax.numpy as jnp
+
+    # Input-boundary discipline: the system is measured on DEVICE-RESIDENT
+    # depth (same boundary as the scan-odometry headline).  Host→device
+    # depth transfer is an independently-measured stage — over the remote
+    # tunnel it runs at ~12-30 frames/s-equivalent for realistic
+    # (incompressible) depth and would otherwise dominate every SLAM
+    # number; a locally-attached host moves it at PCIe rates.  The upload
+    # rate is reported as `upload_fps_equiv` so nothing is hidden.
+    t0 = time.perf_counter()
+    dev = jnp.asarray(depths)
+    np.asarray(jnp.sum(dev[-1]))         # fence: transfer fully complete
+    upload_s = time.perf_counter() - t0
+    handles = [dev[i] for i in range(frames)]
+    jax.block_until_ready(handles)
+    ts_all = np.arange(frames) / 30.0
+
     def one_pass(async_backend: bool) -> tuple[float, object]:
         slam = SlamSystem(K, cfg, enable_loop_closure=True,
                           async_backend=async_backend)
-        handles = [jax.device_put(d) for d in depths]
         t0 = time.perf_counter()
         for i, d in enumerate(handles):
-            slam.process(d, timestamp=i / 30.0)
+            slam.process(d, timestamp=ts_all[i])
         slam.finalize()
         return time.perf_counter() - t0, slam
 
-    def one_pass_chunked(chunk: int) -> tuple[float, object]:
+    def one_pass_chunked(chunk: int, async_backend: bool) -> tuple[float, object]:
         # device-side chunked streaming (VERDICT r3 #1): one dispatch + one
         # readback per CHUNK of frames instead of per frame — the host-loop
-        # dispatch floor (~25 ms/round trip on the remote tunnel) amortizes
-        # over `chunk` frames; backend work runs at chunk boundaries
-        import jax.numpy as jnp
-
-        slam = SlamSystem(K, cfg, enable_loop_closure=True)
-        dev = jnp.asarray(depths)
-        ts_all = np.arange(frames) / 30.0
+        # dispatch floor (~25-30 ms/round trip on the remote tunnel)
+        # amortizes over `chunk` frames; backend work runs at chunk
+        # boundaries as fused one-sync verify+optimize attempts, optionally
+        # overlapped in the async worker (the PP analogue finally pays:
+        # measured 93 → 111 fps on this loop with identical closures)
+        slam = SlamSystem(K, cfg, enable_loop_closure=True,
+                          async_backend=async_backend)
         t0 = time.perf_counter()
         for i in range(0, frames - frames % chunk, chunk):
             slam.process_chunk(dev[i:i + chunk], ts_all[i:i + chunk])
@@ -143,28 +159,175 @@ def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
 
     chunk = 8
     one_pass(False)                      # compile warmup (shared jit cache)
-    one_pass_chunked(chunk)              # scan-chunk compile warmup
+    one_pass_chunked(chunk, False)       # scan-chunk compile warmup
     wall_sync, slam = one_pass(False)
     wall_async, _ = one_pass(True)
-    wall_chunked, slam_c = one_pass_chunked(chunk)
+    wall_chunked, slam_c = one_pass_chunked(chunk, False)
+    wall_chunked_a, slam_ca = one_pass_chunked(chunk, True)
     ts, est = slam.trajectory()
     m = ate_rmse(ts, est, np.arange(frames) / 30.0, gt, max_difference=0.005)
     ts_c, est_c = slam_c.trajectory()
     m_c = ate_rmse(ts_c, est_c, np.arange(frames) / 30.0, gt,
                    max_difference=0.005)
+    ts_ca, est_ca = slam_ca.trajectory()
+    m_ca = ate_rmse(ts_ca, est_ca, np.arange(frames) / 30.0, gt,
+                    max_difference=0.005)
     return {
         "slam_fps": frames / wall_sync,
         "slam_fps_async": frames / wall_async,
         "async_gain": wall_sync / wall_async,
         "slam_fps_chunked": frames / wall_chunked,
+        "slam_fps_chunked_async": frames / wall_chunked_a,
+        "upload_fps_equiv": frames / upload_s,
         "chunk": chunk,
         "slam_ate_rmse_m": m["rmse"],
         "slam_chunked_ate_rmse_m": m_c["rmse"],
+        "slam_chunked_async_ate_rmse_m": m_ca["rmse"],
         "loop_closures": len(slam.closures),
         "loop_closures_chunked": len(slam_c.closures),
+        "loop_closures_chunked_async": len(slam_ca.closures),
         "keyframes": len(slam.odo.keyframes),
         "keyframes_chunked": len(slam_c.odo.keyframes),
         "frames": frames,
+    }
+
+
+def bench_scale(frames: int = 2000, height: int = 240, width: int = 320,
+                chunk: int = 8) -> dict:
+    """BASELINE config-5 SCALE on the real device (VERDICT r3 item 3).
+
+    The 2,000-frame capacity proof (tests/test_config5_scale.py) has only
+    ever run on the fake CPU mesh; this pushes the same multi-lap loop —
+    tight promotion thresholds, deliberately tiny initial graph capacity
+    so node storage must double repeatedly, cloud sparsification under
+    budget — through the production `SlamSystem` chunked path on whatever
+    backend is attached, and reports the capacity/closure/ATE outcomes
+    next to throughput.  Uses SlamSystem directly on pre-rendered depths
+    (the run_slam CLI adds only PNG decode, benchmarked separately).
+    """
+    import dataclasses
+    import time as _time
+
+    from tpuslam.config import (
+        Intrinsics,
+        KeyframeConfig,
+        PoseGraphConfig,
+        SLAMConfig,
+        VoxelConfig,
+    )
+    from tpuslam.data.synthetic import loop_trajectory, render_depth
+    from tpuslam.eval.ate import ate_rmse
+    from tpuslam.slam import SlamSystem
+
+    K = Intrinsics(
+        525.0 * width / 640.0, 525.0 * height / 480.0,
+        width / 2 - 0.5, height / 2 - 0.5,
+    )
+    cfg = SLAMConfig(
+        height=height, width=width,
+        keyframe=KeyframeConfig(max_translation=0.015, max_rotation=0.03,
+                                max_keyframes=48, sparsify_protect_recent=4),
+        posegraph=PoseGraphConfig(max_nodes=32, max_edges=64, gn_iters=15,
+                                  solver="auto", dense_max_nodes=256,
+                                  lc_min_gap=20, lc_max_dist=0.08,
+                                  lc_max_residual=0.05, lc_min_inliers=0.3),
+        voxel=VoxelConfig(capacity=1 << 12, map_capacity=1 << 15),
+    )
+    gt = loop_trajectory(frames, cycles=5)
+    render_t0 = _time.perf_counter()
+    depths = np.stack([
+        render_depth(gt[i], K, height, width, seed=i) for i in range(frames)
+    ]).astype(np.float32)
+    render_s = _time.perf_counter() - render_t0
+
+    import jax.numpy as jnp
+
+    slam = SlamSystem(K, cfg, enable_loop_closure=True)
+    dev = jnp.asarray(depths)
+    np.asarray(jnp.sum(dev[-1]))   # fence: device-resident input boundary
+    ts_all = np.arange(frames) / 30.0
+    t0 = _time.perf_counter()
+    for i in range(0, frames - frames % chunk, chunk):
+        slam.process_chunk(dev[i:i + chunk], ts_all[i:i + chunk])
+    for i in range(frames - frames % chunk, frames):
+        slam.process(dev[i], timestamp=ts_all[i])
+    slam.finalize()
+    wall = _time.perf_counter() - t0
+    ts, est = slam.trajectory()
+    m = ate_rmse(ts, est, ts_all, gt, max_difference=0.005)
+    retained = sum(1 for r in slam.odo.keyframes if r.cloud is not None)
+    return {
+        "frames": frames,
+        "resolution": [height, width],
+        "fps": frames / wall,
+        "wall_s": wall,
+        "render_s": render_s,
+        "graph_nodes": slam._num_graph_nodes,
+        "node_capacity": int(slam.graph._poses.shape[0])
+        if hasattr(slam.graph, "_poses") else None,
+        "keyframes": len(slam.odo.keyframes),
+        "retained_clouds": retained,
+        "loop_closures": len(slam.closures),
+        "ate_rmse_m": m["rmse"],
+        "lost_frames": sum(1 for s in slam.odo.stats if s.get("lost")),
+    }
+
+
+def bench_pathology(frames: int = 60, height: int = 480,
+                    width: int = 640) -> dict:
+    """VGA sensor-pathology smoke on the real device (VERDICT r3 item 7).
+
+    The Kinect z²-noise / dropout-hole / rotation-burst fixtures
+    (tests/test_pathology.py) run at 120×160 on CPU; this promotes them to
+    full 640×480 production shapes: degraded odometry throughput, ATE and
+    loss count on the attached backend.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from tpuslam.config import Intrinsics, SLAMConfig
+    from tpuslam.data.synthetic import (
+        burst_trajectory,
+        degrade_depth,
+        render_depth,
+    )
+    from tpuslam.eval.ate import ate_rmse
+    from tpuslam.slam import SlamSystem
+
+    KINECT_NOISE = 0.0019
+    K = Intrinsics(
+        525.0 * width / 640.0, 525.0 * height / 480.0,
+        width / 2 - 0.5, height / 2 - 0.5,
+    )
+    cfg = SLAMConfig(height=height, width=width)
+    gt = burst_trajectory(frames, burst_start=frames // 2, burst_len=8,
+                          burst_rate=0.05)
+    depths = np.stack([
+        degrade_depth(render_depth(gt[i], K, height, width, seed=i),
+                      seed=100 + i, z_noise_coeff=KINECT_NOISE,
+                      dropout_holes=3, edge_dropout=0.02)
+        for i in range(frames)
+    ]).astype(np.float32)
+
+    slam = SlamSystem(K, cfg, enable_loop_closure=True)
+    handles = [jnp.asarray(d) for d in depths]
+    slam.process(handles[0], timestamp=0.0)       # compile warmup frame
+    slam2 = SlamSystem(K, cfg, enable_loop_closure=True)
+    t0 = _time.perf_counter()
+    for i, d in enumerate(handles):
+        slam2.process(d, timestamp=i / 30.0)
+    slam2.finalize()
+    wall = _time.perf_counter() - t0
+    ts, est = slam2.trajectory()
+    m = ate_rmse(ts, est, np.arange(frames) / 30.0, gt, max_difference=0.005)
+    return {
+        "frames": frames,
+        "resolution": [height, width],
+        "fps": frames / wall,
+        "ate_rmse_m": m["rmse"],
+        "lost_frames": sum(1 for s in slam2.odo.stats if s.get("lost")),
+        "loop_closures": len(slam2.closures),
     }
 
 

@@ -22,7 +22,6 @@ from typing import Optional
 import jax
 import numpy as np
 
-from tpuslam.backend.loopclosure import find_closures
 from tpuslam.backend.posegraph import GraphHost, optimize
 from tpuslam.config import Intrinsics, SLAMConfig
 from tpuslam.frontend import Odometry
@@ -134,9 +133,9 @@ class SlamSystem:
             if item is None:
                 return
             try:
-                if self.enable_loop_closure and self._attempt_loop_closure():
-                    with self._lock:
-                        self._optimize()
+                if self.enable_loop_closure:
+                    # optimization is fused into the attempt (one sync)
+                    self._attempt_loop_closure()
             except BaseException as e:  # surfaced on finalize()
                 self._backend_error = e
 
@@ -246,6 +245,27 @@ class SlamSystem:
         self.odo.trajectory[-1] = T_world_cam
 
     def _attempt_loop_closure(self) -> bool:
+        """One fused propose → verify → optimize attempt, ONE host sync.
+
+        The two-sync shape (read verification rows, decide, then optimize
+        and read poses) pays two ~30 ms tunnel round trips per attempt and
+        dominated chunked-SLAM throughput (round-4 tunnel probe: async
+        dispatches ~1 ms, every sync ~30 ms).  Instead the pose-graph
+        optimization is chained ON DEVICE onto the un-synced verification
+        rows: candidate edges enter the solve with weight 2·accept — the
+        device-side gate (backend.verify.passes_gates_traced) — so
+        rejected candidates weigh zero, and verification rows + optimized
+        poses come back in one flat readback.  The host then mirrors the
+        same gate decisions from the same f32 values and either applies
+        the poses (some closure accepted — matching the old
+        attempt-then-optimize semantics) or discards them.
+        """
+        import jax.numpy as jnp
+
+        from tpuslam.backend.loopclosure import gate_rows, propose_and_verify
+        from tpuslam.backend.posegraph import optimize
+        from tpuslam.backend.verify import passes_gates_traced
+
         # snapshot under the lock (async backend runs concurrently with
         # tracking); the expensive ICP verification runs outside it
         with self._lock:
@@ -255,13 +275,47 @@ class SlamSystem:
             ]
             keyframes = list(self.odo.keyframes[:n])
             known = set(self._known_edges) | set(self._failed_pairs)
-        closures, attempted = find_closures(
+            g = self.graph.graph(bucketed=True)
+            live_nodes = self.graph.num_nodes
+        live, rows_dev, attempted = propose_and_verify(
             keyframes, kf_poses, self.cfg.icp, self.cfg.posegraph,
             exclude_pairs=known, K=self.odo.K,
         )
+        if rows_dev is None:
+            with self._lock:
+                self._failed_pairs.update(attempted)
+            return False
+        b = rows_dev.shape[0]
+        is_real = (jnp.arange(b) < len(live)).astype(rows_dev.dtype)
+        accept = passes_gates_traced(rows_dev, self.cfg.posegraph) * is_real
+        cand_i = jnp.asarray([i for i, _, _ in live]
+                             + [0] * (b - len(live)), dtype=g.edge_i.dtype)
+        cand_j = jnp.asarray([j for _, j, _ in live]
+                             + [0] * (b - len(live)), dtype=g.edge_j.dtype)
+        from tpuslam.icp import FlatICP
+
+        cand_T = rows_dev[:, FlatICP.T].reshape(b, 4, 4).astype(g.edge_T.dtype)
+        g_ext = g._replace(
+            edge_i=jnp.concatenate([g.edge_i, cand_i]),
+            edge_j=jnp.concatenate([g.edge_j, cand_j]),
+            edge_T=jnp.concatenate([g.edge_T, cand_T]),
+            edge_weight=jnp.concatenate(
+                [g.edge_weight, 2.0 * accept]),
+        )
+        poses_opt, _cost = optimize(g_ext, self.cfg.posegraph,
+                                    live_nodes=live_nodes)
+        packed = jnp.concatenate([
+            rows_dev.reshape(-1).astype(jnp.float32),
+            poses_opt.reshape(-1).astype(jnp.float32),
+        ])
+        flat = np.asarray(packed)                  # the ONE sync
+        s = flat[: rows_dev.size].reshape(rows_dev.shape)
+        poses = flat[rows_dev.size:].reshape(poses_opt.shape)
+        closures = gate_rows(live, s, self.cfg.posegraph)
         with self._lock:
             accepted = {(c.i, c.j) for c in closures}
             self._failed_pairs.update(attempted - accepted)
+            added = False
             for c in closures:
                 if (c.i, c.j) in self._known_edges:
                     continue
@@ -272,6 +326,14 @@ class SlamSystem:
                 self.odo.protect(c.i, c.j)
                 self._bound_protected()
                 self.closures.append(c)
+                added = True
+            if added:
+                # apply the fused optimization (same system the old
+                # two-step solved: accepted edges at weight 2, rejected 0)
+                self.graph.set_poses(poses.astype(np.float32))
+                # optimization moved the initial guesses — failed pairs
+                # may verify now (same invariant as _optimize)
+                self._failed_pairs.clear()
         return bool(closures)
 
     def _bound_protected(self) -> None:
@@ -525,15 +587,20 @@ class SlamSystem:
             num_new = self._num_graph_nodes - kf_before
         if new_kf:
             if self.async_backend:
-                self._backend_queue.put(self._num_graph_nodes)
+                # opportunity parity with the per-frame path: one queued
+                # attempt PER promotion, not per chunk — a single item per
+                # chunk was measured to drop verified closures 38 → 34/23
+                # on the 120-frame benchmark loop
+                for _ in range(num_new):
+                    self._backend_queue.put(self._num_graph_nodes)
             elif self.enable_loop_closure:
                 # the per-frame path gets one closure-attempt per promotion;
                 # give the chunk boundary the same number of opportunities
-                # (each is one batched verify dispatch), stopping when dry
+                # (each is one fused verify+optimize dispatch), stopping
+                # when dry
                 for _ in range(num_new):
                     if not self._attempt_loop_closure():
                         break
-                    self._optimize()
         return np.stack(out)
 
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
@@ -561,8 +628,9 @@ class SlamSystem:
         if new_kf:
             if self.async_backend:
                 self._backend_queue.put(self._num_graph_nodes)
-            elif self.enable_loop_closure and self._attempt_loop_closure():
-                self._optimize()
+            elif self.enable_loop_closure:
+                # optimization is fused into the attempt (one sync)
+                self._attempt_loop_closure()
         if self.track_against_map:
             with self._lock:
                 self._refine_against_map()
