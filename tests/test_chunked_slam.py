@@ -121,6 +121,41 @@ def test_chunked_async_backend_parity(two_lap_sequence):
     assert m_a["rmse"] < 0.02, m_a
 
 
+def test_chunked_resume_from_checkpoint(two_lap_sequence, tmp_path):
+    """Checkpoint mid-sequence, restore into a fresh system, continue with
+    process_chunk: the restored system has no packed keyframe tables
+    (kf_packed is rebuilt lazily) and must keep tracking — the trajectory
+    tail must match the uninterrupted chunked run."""
+    from tpuslam.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    gt, depths = two_lap_sequence
+    ref = _run_chunked(depths, chunk=8)
+
+    half = 24
+    a = SlamSystem(K, CFG, enable_loop_closure=True)
+    ts = np.arange(len(depths)) / 30.0
+    for i in range(0, half, 8):
+        a.process_chunk(depths[i:i + 8], ts[i:i + 8])
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, a, a.odo.frame_idx)
+
+    b = SlamSystem(K, CFG, enable_loop_closure=True)
+    start = load_checkpoint(path, b)
+    assert start == half
+    for i in range(start, len(depths), 8):
+        b.process_chunk(depths[i:i + 8], ts[i:i + 8])
+    b.finalize()
+
+    ts_b, est_b = b.trajectory()
+    gt_ts = np.arange(FRAMES) / 30.0
+    m_b = ate_rmse(ts_b[-(FRAMES - half):], est_b[-(FRAMES - half):],
+                   gt_ts, gt, max_difference=0.005)
+    assert m_b["rmse"] < 0.02, m_b
+    # same keyframe decisions after the resume point as uninterrupted
+    assert [r.index for r in b.odo.keyframes] == [
+        r.index for r in ref.odo.keyframes]
+
+
 def test_chunked_bootstrap_and_remainder(two_lap_sequence):
     """A fresh system's first chunk seeds the keyframe per-frame; odd-size
     remainder chunks work (each size is just a separate compile)."""
