@@ -92,6 +92,23 @@ def test_epilogue_all_invalid_is_identity(rng):
     assert float(dsq) == pytest.approx(0.0, abs=1e-12)
 
 
+def test_epilogue_nonfinite_solve_keeps_pose(rng):
+    """A non-finite system (inf in a b row → inf/NaN through the unpivoted
+    Gauss solve) must yield a ZERO step — pose unchanged, no NaN anywhere —
+    matching solve_gn_step's where(ok, delta, 0) guard."""
+    partials, _ = make_partials(rng)
+    row = np.zeros((partials.shape[0], 1), np.float32)
+    row[22] = 1.0                         # a b-component row of group 0
+    partials_bad = jnp.asarray(
+        np.asarray(partials) + row * np.inf * np.ones((1, 128), np.float32))
+    T = se3.exp(jnp.asarray([0.05, -0.02, 0.01, 0.02, 0.01, -0.03]))
+    T_new, _, dsq, *_ = gn_epilogue_pallas(partials_bad, T, *ARGS,
+                                           interpret=True)
+    assert np.all(np.isfinite(np.asarray(T_new)))
+    np.testing.assert_allclose(np.asarray(T_new), np.asarray(T), atol=1e-6)
+    assert float(dsq) == 0.0
+
+
 def test_icp_loop_epilogue_path_matches_jnp(rng, monkeypatch):
     """End-to-end: _icp_loop with the forced-Pallas (reduce + epilogue)
     path in interpret mode converges to the jnp path's pose."""

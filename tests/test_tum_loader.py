@@ -153,6 +153,15 @@ def test_depth_cache_roundtrip_and_invalidation(tmp_path):
     list(seq3.frames())
     assert seq3._open_cache(5000.0) is not None
 
+    # regenerating a PNG IN PLACE (same filename, depth.txt untouched)
+    # must also invalidate: the stamp covers the PNG files themselves
+    rel = seq3.depth_list[2][1][0]
+    png = tmp_path / rel
+    st = os.stat(png)
+    os.utime(png, ns=(st.st_atime_ns, st.st_mtime_ns + 2_000_000_000))
+    seq4 = TumSequence(str(tmp_path))
+    assert seq4._open_cache(5000.0) is None
+
 
 def test_depth_cache_partial_iteration_not_published(tmp_path):
     """An abandoned or windowed iteration must not publish a sidecar."""

@@ -251,6 +251,18 @@ class TumSequence:
         st = os.stat(os.path.join(self.root, "depth.txt"))
         return int(st.st_mtime_ns), int(st.st_size)
 
+    def _png_stamp(self) -> tuple[int, int]:
+        """Aggregate (total size, max mtime_ns) over every depth PNG —
+        depth.txt alone misses in-place PNG regeneration (same filenames),
+        which would silently serve stale cached depths.  One os.stat per
+        frame, ~µs each — noise next to a single PNG decode."""
+        total, newest = 0, 0
+        for _, (rel_path, *_rest) in self.depth_list:
+            st = os.stat(os.path.join(self.root, rel_path))
+            total += int(st.st_size)
+            newest = max(newest, int(st.st_mtime_ns))
+        return total, newest
+
     def _open_cache(self, depth_scale: float) -> Optional[np.ndarray]:
         """Return the read-only depth memmap when the sidecar is valid."""
         if not self.depth_cache:
@@ -268,6 +280,10 @@ class TumSequence:
                     or meta["depth_scale"] != depth_scale
                     or meta["depth_txt_mtime_ns"] != mtime_ns
                     or meta["depth_txt_size"] != size):
+                return None
+            png_total, png_newest = self._png_stamp()
+            if (meta.get("png_total_size") != png_total
+                    or meta.get("png_max_mtime_ns") != png_newest):
                 return None
             mm = np.load(npy, mmap_mode="r")
             if mm.shape[0] != len(self.depth_list) or mm.dtype != np.float32:
@@ -289,20 +305,32 @@ class TumSequence:
         npy, meta_path = self._cache_paths()
         tmp = npy + ".tmp"
         n = len(self.depth_list)
-        try:
-            h, w = self.frame(0, depth_scale).depth.shape
-            mm = np.lib.format.open_memmap(
-                tmp, mode="w+", dtype=np.float32, shape=(n, h, w))
-        except OSError:
-            return None
         written = set()
+        state = {"mm": None}    # created lazily on the first decoded row —
+        #                         probing the shape up front would decode
+        #                         frame 0 twice on every cache-building pass
 
         def write_row(i: int, depth: np.ndarray) -> None:
+            mm = state["mm"]
+            if mm is None:
+                try:
+                    mm = np.lib.format.open_memmap(
+                        tmp, mode="w+", dtype=np.float32,
+                        shape=(n,) + depth.shape)
+                except OSError:
+                    state["mm"] = False
+                    return
+                state["mm"] = mm
+            elif mm is False:
+                return
             if depth.shape == mm.shape[1:]:
                 mm[i] = depth
                 written.add(i)
 
         def finalize() -> None:
+            mm = state["mm"]
+            if not isinstance(mm, np.memmap):
+                return
             mm.flush()
             if len(written) != n:
                 try:
@@ -313,11 +341,15 @@ class TumSequence:
             import json
 
             mtime_ns, size = self._depth_txt_stamp()
+            png_total, png_newest = self._png_stamp()
+            h, w = mm.shape[1:]
             os.replace(tmp, npy)     # atomic publish (same filesystem)
             with open(meta_path, "w") as f:
                 json.dump({"n_frames": n, "depth_scale": depth_scale,
                            "depth_txt_mtime_ns": mtime_ns,
                            "depth_txt_size": size,
+                           "png_total_size": png_total,
+                           "png_max_mtime_ns": png_newest,
                            "shape": [h, w]}, f)
 
         return write_row, finalize

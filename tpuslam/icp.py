@@ -406,7 +406,7 @@ def align_map_to_frame(map_cloud: PointCloud, frame: "Frame", K: Intrinsics,
     )
     src = PointCloud(points=map_cloud.points, normals=map_cloud.normals,
                      mask=map_cloud.mask & in_view)
-    if getattr(cfg, "fused_gn", True):
+    if getattr(cfg, "fused_gn", False):
         res = _icp_loop_projective_fused(
             packed, h, w, K, src, S0, cfg, cfg.max_iters,
             use_pallas=use_pallas)
@@ -439,7 +439,7 @@ def align_cloud_to_organized(src: PointCloud, packed: jnp.ndarray,
     grid-hash path) so the overlap gates keep their meaning.
     """
 
-    if getattr(cfg, "fused_gn", True):
+    if getattr(cfg, "fused_gn", False):
         return _icp_loop_projective_fused(
             packed, height, width, K, src, T0, cfg, cfg.max_iters,
             use_pallas=use_pallas)
@@ -602,7 +602,7 @@ def align_frames_packed(
         inner = ipl[li] if ipl is not None and li < len(ipl) else None
         tpl = getattr(cfg, "tol_delta_per_level", None)
         tol = tpl[li] if tpl is not None and li < len(tpl) else None
-        if getattr(cfg, "fused_gn", True):
+        if getattr(cfg, "fused_gn", False):
             result = _icp_loop_projective_fused(
                 packed, h, w, K_l, src_cloud, T, cfg, iters,
                 use_pallas=use_pallas, inner_steps=inner, tol_delta=tol)

@@ -60,6 +60,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# single definition of the (N,) → (rows, 128) zero-pad/reshape helper —
+# this kernel shares pallas_gn's plane tiling by construction
+from tpuslam.kernels.pallas_gn import _pad_plane
+
 _LANES = 128
 _NUM_OUT = 30              # 21 H + 6 b + Σwr² + Σvalid + Σw
 _OUT_ROWS = 32             # padded to the f32 (8,128) tile multiple
@@ -180,13 +184,6 @@ def _kernel(params_ref, p0, p1, p2, sn0, sn1, sn2, m_ref,
     )
 
 
-def _pad_plane(v: jnp.ndarray, rows: int) -> jnp.ndarray:
-    """(N,) → (rows, 128) zero-padded component plane."""
-    n = v.shape[0]
-    pad = rows * _LANES - n
-    if pad:
-        v = jnp.pad(v, (0, pad))
-    return v.reshape(rows, _LANES)
 
 
 def _params_vector(T_gate, T_res, K, width, height, max_dist,

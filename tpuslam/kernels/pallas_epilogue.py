@@ -133,8 +133,12 @@ def _epilogue_math(sums, T, damping, damping_abs, max_trans, max_rot):
     delta = jnp.sum(aug * pat(j67 == 6), axis=1, keepdims=True)  # (6, 1)
 
     # --- non-finite guard + trust region ---
+    # Two stages: the elementwise where() removes inf/NaN entries FIRST
+    # (0·inf = NaN — a bare multiply by the flag would propagate the very
+    # values it is guarding against), then the all-finite flag zeroes the
+    # whole step, matching solve_gn_step's where(ok, delta, 0).
     finite = jnp.min(jnp.isfinite(delta).astype(f32))
-    delta = delta * finite
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0) * finite
     rho_mask = pat(rows6 < 3)
     t_norm = jnp.sqrt(jnp.sum((delta * rho_mask) ** 2))
     r_norm = jnp.sqrt(jnp.sum((delta * (1.0 - rho_mask)) ** 2))

@@ -295,6 +295,13 @@ class SlamSystem:
         from tpuslam.icp import FlatICP
 
         cand_T = rows_dev[:, FlatICP.T].reshape(b, 4, 4).astype(g.edge_T.dtype)
+        # A diverged verification can return a non-finite pose (the gates
+        # anticipate this — passes_gates has an isfinite term, so its
+        # weight is 0) but a NaN edge_T would still poison the solve
+        # through 0·NaN=NaN in the edge residuals: sanitize to identity.
+        finite_T = jnp.all(jnp.isfinite(cand_T), axis=(1, 2))
+        cand_T = jnp.where(finite_T[:, None, None], cand_T,
+                           jnp.eye(4, dtype=cand_T.dtype))
         g_ext = g._replace(
             edge_i=jnp.concatenate([g.edge_i, cand_i]),
             edge_j=jnp.concatenate([g.edge_j, cand_j]),
@@ -328,12 +335,29 @@ class SlamSystem:
                 self.closures.append(c)
                 added = True
             if added:
-                # apply the fused optimization (same system the old
-                # two-step solved: accepted edges at weight 2, rejected 0)
-                self.graph.set_poses(poses.astype(np.float32))
-                # optimization moved the initial guesses — failed pairs
-                # may verify now (same invariant as _optimize)
-                self._failed_pairs.clear()
+                if self.graph.num_nodes == live_nodes:
+                    # apply the fused optimization (same system the old
+                    # two-step solved: accepted edges at weight 2,
+                    # rejected 0) and re-anchor the frontend exactly as
+                    # _optimize does — keyframe records and the live
+                    # tracking origin must see closure corrections
+                    # immediately, not at finalize (relocalization seeds
+                    # from record poses)
+                    poses = poses.astype(np.float32)
+                    self.graph.set_poses(poses)
+                    self._failed_pairs.clear()
+                    k = self._num_graph_nodes - 1
+                    self.odo.T_world_kf = poses[k]
+                    for idx in range(self._num_graph_nodes):
+                        rec = self.odo.keyframes[idx]
+                        self.odo.keyframes[idx] = rec._replace(
+                            T_world_kf=poses[idx])
+                else:
+                    # async tracking grew the graph while the snapshot
+                    # solve was in flight — the fused poses are stale
+                    # (set_poses would overwrite new nodes or mismatch
+                    # the bucket): re-solve on the current graph instead
+                    self._optimize()
         return bool(closures)
 
     def _bound_protected(self) -> None:
