@@ -99,3 +99,107 @@ def test_mxu_decimation_contains_nan():
     assert np.isfinite(out).all()
     ref = np.where(np.isfinite(d), d, 0.0)[::2, ::2]
     np.testing.assert_array_equal(out, ref)
+
+
+def test_traced_gates_match_host_gates(rng):
+    """passes_gates_traced must make the same decision as passes_gates on
+    every row — the fused verify+optimize dispatch weights candidate edges
+    by the traced mask and the host mirrors it from the readback."""
+    from tpuslam.backend.verify import passes_gates_traced
+
+    pg = PoseGraphConfig()
+    rows = []
+    rows.append(_good_row(pg))
+    for col, bad in (
+        (FlatICP.CONVERGED, 0.0),
+        (FlatICP.RMS, pg.lc_max_residual * 2),
+        (FlatICP.INLIER_FRACTION, pg.lc_min_inliers * 0.5),
+        (COVERAGE_COL, pg.lc_min_normal_coverage * 0.5),
+        (3, np.nan),
+        (7, np.inf),
+    ):
+        r = _good_row(pg)
+        r[col] = bad
+        rows.append(r)
+    # knife-edge: exactly at the thresholds (host uses <=/>=)
+    r = _good_row(pg)
+    r[FlatICP.RMS] = pg.lc_max_residual
+    r[FlatICP.INLIER_FRACTION] = pg.lc_min_inliers
+    r[COVERAGE_COL] = pg.lc_min_normal_coverage
+    rows.append(r)
+    mat = np.stack(rows).astype(np.float32)
+    traced = np.asarray(passes_gates_traced(jnp.asarray(mat), pg))
+    host = np.asarray([passes_gates(r, pg) for r in mat], np.float32)
+    np.testing.assert_array_equal(traced, host)
+
+
+def test_fused_attempt_race_falls_back_to_fresh_solve(monkeypatch):
+    """If the graph grows between the fused attempt's snapshot and its
+    application (async tracking), the stale bucketed poses must NOT be
+    applied — the attempt re-solves on the current graph instead, so the
+    concurrently-added node keeps a real pose."""
+    from tpuslam.backend import posegraph as pg_mod
+    from tpuslam.config import (
+        ICPConfig,
+        Intrinsics,
+        KeyframeConfig,
+        SLAMConfig,
+        VoxelConfig,
+    )
+    from tpuslam.data.synthetic import loop_trajectory, render_depth
+    from tpuslam.slam import SlamSystem
+
+    K = Intrinsics(160.0, 160.0, 79.5, 59.5)
+    cfg = SLAMConfig(
+        height=120, width=160,
+        keyframe=KeyframeConfig(max_translation=0.03, max_rotation=0.06),
+        posegraph=dataclasses.replace(PoseGraphConfig(), lc_min_gap=3,
+                                      lc_max_dist=0.6),
+        voxel=VoxelConfig(capacity=1 << 12),
+        icp=ICPConfig(),
+    )
+    n = 40
+    gt = loop_trajectory(n, cycles=2, radius=0.35)
+    depths = np.stack([render_depth(gt[i], K, 120, 160, seed=i)
+                       for i in range(n)]).astype(np.float32)
+    slam = SlamSystem(K, cfg, enable_loop_closure=False)
+    for i in range(n):
+        slam.process(depths[i], timestamp=i / 30.0)
+    assert slam.graph.num_nodes >= 6
+    slam.enable_loop_closure = True
+
+    orig_optimize = pg_mod.optimize
+    intruder_pose = np.eye(4, dtype=np.float32)
+    intruder_pose[0, 3] = 7.0
+    state = {"raced": False, "fallback_calls": 0}
+
+    def racing_optimize(graph, cfg_, **kw):
+        if not state["raced"]:
+            # simulate a concurrent promotion while the fused solve is in
+            # flight: the graph grows AFTER the snapshot was taken (with
+            # its keyframe record, exactly as _sync_graph_with_keyframes
+            # would)
+            state["raced"] = True
+            from tpuslam.frontend import KeyframeRecord
+
+            slam.graph.add_node(intruder_pose)
+            slam.odo.keyframes.append(KeyframeRecord(
+                index=999, timestamp=99.0, T_world_kf=intruder_pose,
+                cloud=None, verify=None))
+            slam._num_graph_nodes += 1
+        else:
+            state["fallback_calls"] += 1
+        return orig_optimize(graph, cfg_, **kw)
+
+    import tpuslam.slam as slam_mod
+
+    monkeypatch.setattr(pg_mod, "optimize", racing_optimize)
+    monkeypatch.setattr(slam_mod, "optimize", racing_optimize)
+    found = slam._attempt_loop_closure()
+    if found:
+        # the guard must have re-solved on the grown graph...
+        assert state["fallback_calls"] >= 1
+    # ...and in every case the intruder node's pose must survive — a stale
+    # bucketed set_poses would have overwritten it with padding (identity)
+    got = slam.graph._poses[slam.graph.num_nodes - 1]
+    np.testing.assert_allclose(got[0, 3], 7.0, atol=1e-4)

@@ -81,12 +81,21 @@ def passes_gates(row: np.ndarray, pg_cfg: PoseGraphConfig) -> bool:
 
     If the inlier normals don't span 3-D (featureless-wall overlap) the
     estimate can slide in-plane with tiny residual — such a "closure" would
-    only re-encode drift, hence the coverage gate."""
+    only re-encode drift, hence the coverage gate.
+
+    Thresholds are compared at FLOAT32 so decisions are bit-identical to
+    the device-side `passes_gates_traced` (which weights candidate edges
+    in the fused verify+optimize dispatch): promoting the f32 row value to
+    f64 against the python-float threshold flips knife-edge rows — e.g.
+    f32(0.05) > 0.05 in f64 — and the host would then disagree with the
+    solve it is mirroring."""
     T = row[FlatICP.T].reshape(4, 4)
     return (
         bool(row[FlatICP.CONVERGED] > 0.5)
-        and float(row[FlatICP.RMS]) <= pg_cfg.lc_max_residual
-        and float(row[FlatICP.INLIER_FRACTION]) >= pg_cfg.lc_min_inliers
-        and float(row[COVERAGE_COL]) >= pg_cfg.lc_min_normal_coverage
+        and np.float32(row[FlatICP.RMS]) <= np.float32(pg_cfg.lc_max_residual)
+        and np.float32(row[FlatICP.INLIER_FRACTION])
+        >= np.float32(pg_cfg.lc_min_inliers)
+        and np.float32(row[COVERAGE_COL])
+        >= np.float32(pg_cfg.lc_min_normal_coverage)
         and bool(np.all(np.isfinite(T)))
     )

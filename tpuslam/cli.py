@@ -142,8 +142,18 @@ def _run_pipeline(args, use_slam: bool) -> int:
     n_done = 0
     from tpuslam.frontend import prefetch_to_device
 
+    # Steady-state marker: everything before the SECOND processed batch is
+    # dominated by one-time costs (jit compiles / compile-cache loads take
+    # minutes per process on the remote-TPU platform) — `fps` alone would
+    # misread a short run as 100× slower than the pipeline actually is.
+    t_steady = {"t": None, "frames": 0}
+
     def after_frames(frames_done, per_frame_ms):
         nonlocal n_done
+        if t_steady["t"] is None:
+            t_steady["t"] = time.perf_counter()     # end of first batch
+        else:
+            t_steady["frames"] += len(frames_done)
         odo = system.odo if use_slam else system
         frame_base = odo.frame_idx - len(frames_done)
         stat_base = len(odo.stats) - len(frames_done)
@@ -218,6 +228,10 @@ def _run_pipeline(args, use_slam: bool) -> int:
         "fps": len(ts) / wall if wall > 0 else 0.0,
         "wall_s": wall,
     }
+    if t_steady["t"] is not None and t_steady["frames"] > 0:
+        steady_wall = wall - (t_steady["t"] - t_start)
+        if steady_wall > 0:
+            summary["fps_steady"] = t_steady["frames"] / steady_wall
     if use_slam:
         summary["loop_closures"] = len(system.closures)
         summary["graph_nodes"] = system.graph.num_nodes
