@@ -73,3 +73,18 @@ def test_decimate2_matches_strided_slice():
     sel = jnp.eye(d.shape[1], dtype=d.dtype)[:, ::2]
     out = d[::2] @ sel                      # the TPU expression
     np.testing.assert_array_equal(np.asarray(out), np.asarray(d[::2, ::2]))
+
+
+def test_f16_depth_upload_tracks_sequence():
+    """Reduced-precision depth INPUT (the --upload-f16 bandwidth feature):
+    all math stays f32, so tracking must hold with only a quantization-
+    level ATE penalty (f16 ≈ 1.5 mm at 3 m depth)."""
+    poses, depths = render_sequence()
+    out_f32 = scan_odometry_jit(jnp.asarray(depths, jnp.float32), K, CFG)
+    out_f16 = scan_odometry_jit(jnp.asarray(depths, jnp.float16), K, CFG)
+    ts = np.arange(len(poses)) / 30.0
+    m32 = ate_rmse(ts, np.asarray(out_f32[0]), ts, np.asarray(poses),
+                   max_difference=0.005)
+    m16 = ate_rmse(ts, np.asarray(out_f16[0]), ts, np.asarray(poses),
+                   max_difference=0.005)
+    assert m16["rmse"] < max(5e-3, 10 * m32["rmse"]), (m16, m32)

@@ -65,6 +65,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "lax.scan; amortizes host dispatch latency; "
                         "run_slam only — backend work runs at chunk "
                         "boundaries, remainder frames step per-frame)")
+    p.add_argument("--upload-f16", action="store_true",
+                   help="upload depth to the device as float16 (halves the "
+                        "host->device transfer — the streaming bottleneck "
+                        "on narrow links; ~1.5 mm quantization at 3 m, all "
+                        "geometry math stays float32)")
     _add_distributed(p)
 
 
@@ -173,8 +178,12 @@ def _run_pipeline(args, use_slam: bool) -> int:
                 end="", file=sys.stderr,
             )
 
-    stream = prefetch_to_device(
-        seq.frames(depth_scale=cfg.depth_scale, start=start, stop=args.stop))
+    frame_iter = seq.frames(depth_scale=cfg.depth_scale, start=start,
+                            stop=args.stop)
+    if getattr(args, "upload_f16", False):
+        frame_iter = (f._replace(depth=f.depth.astype(np.float16))
+                      for f in frame_iter)
+    stream = prefetch_to_device(frame_iter)
     if chunk > 1:
         # device-side chunked streaming (SlamSystem.process_chunk): one
         # dispatch + one readback per chunk; trailing remainder frames

@@ -92,10 +92,16 @@ def preprocess(depth: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
     satisfy project(p, K.scaled(2^-l)) == their own pixel exactly, and
     coarse normals use the coarse neighbor baseline (standard pyramid
     practice).
+    Accepts reduced-precision depth (float16 / uint16-scaled already
+    divided out): all geometry math runs in float32 — quantized INPUT is a
+    bandwidth feature (halves the host→device transfer, which is the
+    end-to-end bottleneck on narrow links — measured 10-30 MB/s on the
+    remote tunnel, i.e. f32 VGA depth alone caps streaming at ~12-55
+    fps-equivalent; see CLI --upload-f16).
     """
     levels = cfg.icp.pyramid_levels
     pyr = []
-    d = depth
+    d = depth.astype(jnp.float32)
     for li in range(levels):
         with jax.named_scope(f"preprocess.backproject_l{li}"):
             pts, mask = backproject(
