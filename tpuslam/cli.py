@@ -312,13 +312,22 @@ def cmd_eval(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from tpuslam.bench.harness import run_bench
+    from tpuslam.bench.harness import bench_pathology, bench_scale, run_bench
 
     _init_distributed(args)
-    result = run_bench(
-        frames=args.frames, height=args.height, width=args.width,
-        config_path=args.config, devices=args.devices,
-    )
+    if getattr(args, "scale", False):
+        # BASELINE config-5 capacity run on the attached backend
+        result = bench_scale(frames=args.frames, height=args.height,
+                             width=args.width)
+    elif getattr(args, "pathology", False):
+        # degraded-sensor (z²-noise + holes + rotation burst) smoke
+        result = bench_pathology(frames=args.frames, height=args.height,
+                                 width=args.width)
+    else:
+        result = run_bench(
+            frames=args.frames, height=args.height, width=args.width,
+            config_path=args.config, devices=args.devices,
+        )
     print(json.dumps(result))
     return 0
 
@@ -357,6 +366,15 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--config", default=None)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--scale", action="store_true",
+                   help="run the BASELINE config-5 capacity benchmark "
+                        "instead (multi-lap loop, tight promotion, tiny "
+                        "initial graph capacity; pass --frames 2000 "
+                        "--height 240 --width 320 for the recorded "
+                        "artifact)")
+    p.add_argument("--pathology", action="store_true",
+                   help="run the degraded-sensor smoke instead (Kinect "
+                        "z²-noise + dropout holes + rotation burst)")
     _add_distributed(p)
     p.set_defaults(fn=cmd_bench)
 
