@@ -174,6 +174,101 @@ def test_chunked_bootstrap_and_remainder(two_lap_sequence):
     assert slam.graph.num_nodes == len(slam.odo.keyframes)
 
 
+def _run_boundary(depths, chunk: int, async_backend: bool = False):
+    slam = SlamSystem(K, CFG, enable_loop_closure=True,
+                      chunk_mode="boundary", async_backend=async_backend)
+    ts = np.arange(len(depths)) / 30.0
+    for i in range(0, len(depths), chunk):
+        slam.process_chunk(depths[i:i + chunk], ts[i:i + chunk])
+    slam.finalize()
+    return slam
+
+
+def test_boundary_mode_tracks_and_closes(two_lap_sequence):
+    """Boundary-promotion chunking (VERDICT r4 #1): the frozen-keyframe
+    scan must track the loop at comparable ATE with sparser keyframes
+    (at most one promotion per chunk) and still close the loop."""
+    gt, depths = two_lap_sequence
+    ref = _run_chunked(depths, chunk=8)          # inline-promotion baseline
+    b = _run_boundary(depths, chunk=8)
+
+    assert len(b.odo.keyframes) >= FRAMES // 8 - 1   # promotes regularly
+    assert len(b.odo.keyframes) <= len(ref.odo.keyframes)
+    assert len(b.closures) >= 1
+    ts_b, est_b = b.trajectory()
+    gt_ts = np.arange(FRAMES) / 30.0
+    m_b = ate_rmse(ts_b, est_b, gt_ts, gt, max_difference=0.005)
+    assert m_b["rmse"] < 0.02, m_b
+    # one keyframe record per promotion flag the host committed
+    promoted = sum(1 for s in b.odo.stats if s.get("promoted"))
+    assert promoted == len(b.odo.keyframes)
+    # promoted keyframe indices are consistent with their records
+    for r in b.odo.keyframes:
+        assert 0 <= r.index < FRAMES
+
+
+def test_boundary_deferred_backend_bit_deterministic(two_lap_sequence):
+    """The deferred backend (VERDICT r4 #5): closure set and trajectory
+    must be BYTE-IDENTICAL to the synchronous boundary run, and identical
+    across repeated deferred runs — the frozen-keyframe scan output is
+    pose-correction-independent, so deferring the attempt readback one
+    chunk cannot change any decision."""
+    gt, depths = two_lap_sequence
+    sync = _run_boundary(depths, chunk=8, async_backend=False)
+    runs = [_run_boundary(depths, chunk=8, async_backend=True)
+            for _ in range(3)]
+
+    sync_set = [(c.i, c.j) for c in sync.closures]
+    _, est_sync = sync.trajectory()
+    for d in runs:
+        assert [(c.i, c.j) for c in d.closures] == sync_set
+        _, est_d = d.trajectory()
+        np.testing.assert_array_equal(est_d, est_sync)
+        assert [r.index for r in d.odo.keyframes] == [
+            r.index for r in sync.odo.keyframes]
+
+
+def test_boundary_lost_replays_per_frame(two_lap_sequence):
+    """Boundary mode keeps the lost-chunk per-frame replay semantics."""
+    gt, depths = two_lap_sequence
+    depths = depths.copy()
+    depths[18:20] = 0.0
+    slam = SlamSystem(K, CFG, enable_loop_closure=True,
+                      chunk_mode="boundary")
+    ts = np.arange(FRAMES) / 30.0
+    for i in range(0, FRAMES, 8):
+        slam.process_chunk(depths[i:i + 8], ts[i:i + 8])
+    slam.finalize()
+    assert len(slam.odo.trajectory) == FRAMES
+    assert any(s.get("lost", False) for s in slam.odo.stats)
+    ts_e, est = slam.trajectory()
+    assert np.all(np.isfinite(est))
+    m = ate_rmse(ts_e[24:], est[24:], np.arange(24, FRAMES) / 30.0, gt[24:],
+                 max_difference=0.005)
+    assert m["rmse"] < 0.05, m
+
+
+def test_boundary_remainder_and_mode_mixing(two_lap_sequence):
+    """Odd-size remainders step per-frame inside process_chunk; a deferred
+    pending attempt outstanding at that point must drain first (the
+    per-frame path and finalize both call _drain_pending)."""
+    gt, depths = two_lap_sequence
+    slam = SlamSystem(K, CFG, enable_loop_closure=True,
+                      chunk_mode="boundary", async_backend=True)
+    ts = np.arange(FRAMES) / 30.0
+    for i in range(0, 40, 8):
+        slam.process_chunk(depths[i:i + 8], ts[i:i + 8])
+    # remainder frames per-frame, with a pending attempt possibly in flight
+    for i in range(40, FRAMES):
+        slam.process(depths[i], timestamp=ts[i])
+    slam.finalize()
+    assert slam._pending_attempt is None
+    assert len(slam.odo.trajectory) == FRAMES
+    ts_e, est = slam.trajectory()
+    m = ate_rmse(ts_e, est, ts, gt, max_difference=0.005)
+    assert m["rmse"] < 0.02, m
+
+
 def test_chunked_lost_replays_per_frame(two_lap_sequence):
     """A chunk containing an untrackable frame commits nothing and replays
     per-frame, so loss accounting and relocalization engage."""

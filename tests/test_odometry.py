@@ -75,6 +75,44 @@ def test_decimate2_matches_strided_slice():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(d[::2, ::2]))
 
 
+def test_raw_uint16_upload_bit_equals_f32(tmp_path=None):
+    """--upload-raw (VERDICT r4 #3): shipping RAW uint16 depth counts and
+    dividing by depth_scale ON DEVICE must be BIT-EQUAL to uploading the
+    host-divided f32 depth — both perform the identical IEEE f32 divide,
+    so unlike --upload-f16 there is zero quantization at half the
+    transfer size."""
+    import dataclasses
+
+    poses, depths = render_sequence()
+    scale = 5000.0
+    raw = np.round(depths * scale).astype(np.uint16)      # TUM PNG counts
+    host_divided = raw.astype(np.float32) / scale         # loader's path
+    cfg = dataclasses.replace(CFG, depth_scale=scale)
+    out_f32 = scan_odometry_jit(jnp.asarray(host_divided), K, cfg)
+    out_u16 = scan_odometry_jit(jnp.asarray(raw), K, cfg)
+    np.testing.assert_array_equal(np.asarray(out_f32[0]),
+                                  np.asarray(out_u16[0]))
+
+
+def test_boundary_scan_matches_classic():
+    """scan_odometry_boundary (VERDICT r4 #1): the two-level scan with
+    frozen-keyframe chunks and boundary promotion must track the same
+    trajectory as the per-frame-promotion scan to ATE noise."""
+    from tpuslam.frontend import scan_odometry_boundary_jit
+
+    gt, depths = render_sequence(num_frames=16)
+    p_classic, _, _ = scan_odometry_jit(jnp.asarray(depths), K, CFG)
+    p_boundary, _, inl = scan_odometry_boundary_jit(
+        jnp.asarray(depths), K, CFG, 8)
+    check_trajectory(gt, np.asarray(p_classic), tol_rmse=0.01)
+    check_trajectory(gt, np.asarray(p_boundary), tol_rmse=0.01)
+    assert np.all(np.asarray(inl)[1:] > 0.3)
+    d = np.linalg.norm(
+        np.asarray(p_boundary)[:, :3, 3] - np.asarray(p_classic)[:, :3, 3],
+        axis=-1)
+    assert d.max() < 5e-3, d.max()
+
+
 def test_f16_depth_upload_tracks_sequence():
     """Reduced-precision depth INPUT (the --upload-f16 bandwidth feature):
     all math stays f32, so tracking must hold with only a quantization-

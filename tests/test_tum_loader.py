@@ -59,6 +59,33 @@ def test_depth_quantization(tum_dir):
     assert np.abs(got[valid] - ref[valid]).max() < 5e-4
 
 
+def test_raw_uint16_frames(tum_dir, tmp_path):
+    """frames(raw=True) yields the PNG's uint16 counts untouched (the
+    --upload-raw wire format); a cached f32 sidecar must reconstruct the
+    identical counts (÷scale error ~2⁻²⁴ ≪ the 0.5-count threshold)."""
+    root, _ = tum_dir
+    seq = TumSequence(root, depth_cache=False)
+    f32 = seq.frame(1)
+    raw = seq.frame(1, raw=True)
+    assert raw.depth.dtype == np.uint16
+    np.testing.assert_array_equal(
+        raw.depth, np.round(f32.depth * 5000.0).astype(np.uint16))
+    for f in seq.frames(raw=True):
+        assert f.depth.dtype == np.uint16
+    # cached reconstruction path: build the sidecar, re-read raw
+    import shutil
+
+    croot = str(tmp_path / "cached")
+    shutil.copytree(root, croot)
+    cseq = TumSequence(croot)
+    for _ in cseq.frames():          # build + publish sidecar
+        pass
+    cseq2 = TumSequence(croot)
+    assert cseq2._open_cache(5000.0) is not None
+    raw_cached = cseq2.frame(1, raw=True)
+    np.testing.assert_array_equal(raw_cached.depth, raw.depth)
+
+
 def test_associate_greedy():
     a = [(1.0, []), (2.0, []), (3.0, [])]
     b = [(1.005, []), (2.5, []), (3.002, [])]

@@ -65,11 +65,28 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "lax.scan; amortizes host dispatch latency; "
                         "run_slam only — backend work runs at chunk "
                         "boundaries, remainder frames step per-frame)")
+    p.add_argument("--upload-raw", action="store_true",
+                   help="upload depth as RAW uint16 counts and divide by "
+                        "depth_scale on device: same 2 bytes/px as "
+                        "--upload-f16 but ZERO quantization — the "
+                        "trajectory is bit-equal to the f32 upload "
+                        "(recommended for 16-bit sources like TUM)")
     p.add_argument("--upload-f16", action="store_true",
                    help="upload depth to the device as float16 (halves the "
                         "host->device transfer — the streaming bottleneck "
                         "on narrow links; ~1.5 mm quantization at 3 m, all "
-                        "geometry math stays float32)")
+                        "geometry math stays float32).  Prefer "
+                        "--upload-raw for uint16 sources — same transfer "
+                        "size, no quantization")
+    p.add_argument("--chunk-mode", default="boundary",
+                   choices=("boundary", "inline"),
+                   help="chunked-streaming promotion semantics (with "
+                        "--chunk): 'boundary' tracks each chunk against a "
+                        "frozen keyframe and promotes at the chunk "
+                        "boundary (no keyframe tables in the scan carry — "
+                        "fastest, and with --async-backend the backend "
+                        "defers deterministically); 'inline' promotes "
+                        "mid-chunk exactly like per-frame stepping")
     _add_distributed(p)
 
 
@@ -130,7 +147,8 @@ def _run_pipeline(args, use_slam: bool) -> int:
                    map_ba=getattr(args, "map_ba", False),
                    map_track_mode=getattr(args, "map_track_mode", "projective"),
                    async_backend=getattr(args, "async_backend", False),
-                   sharded_map=getattr(args, "sharded_map", False))
+                   sharded_map=getattr(args, "sharded_map", False),
+                   chunk_mode=getattr(args, "chunk_mode", "boundary"))
         if use_slam
         else Odometry(K, cfg, keep_keyframe_clouds=False)
     )
@@ -179,8 +197,10 @@ def _run_pipeline(args, use_slam: bool) -> int:
             )
 
     frame_iter = seq.frames(depth_scale=cfg.depth_scale, start=start,
-                            stop=args.stop)
-    if getattr(args, "upload_f16", False):
+                            stop=args.stop,
+                            raw=getattr(args, "upload_raw", False))
+    if getattr(args, "upload_f16", False) and not getattr(
+            args, "upload_raw", False):
         frame_iter = (f._replace(depth=f.depth.astype(np.float16))
                       for f in frame_iter)
     stream = prefetch_to_device(frame_iter)

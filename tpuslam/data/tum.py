@@ -27,8 +27,8 @@ except Exception:  # pragma: no cover
     _tum_native = None
 
 
-def _decode_depth_png(path: str, depth_scale: float) -> np.ndarray:
-    """16-bit PNG -> float32 metres."""
+def _decode_depth_png_raw(path: str) -> np.ndarray:
+    """16-bit PNG -> raw uint16 depth counts (no scaling)."""
     if _tum_native is not None:
         raw = _tum_native.decode_png16(path)
     else:
@@ -42,7 +42,12 @@ def _decode_depth_png(path: str, depth_scale: float) -> np.ndarray:
             from PIL import Image
 
             raw = np.asarray(Image.open(path))
-    return raw.astype(np.float32) / depth_scale
+    return raw
+
+
+def _decode_depth_png(path: str, depth_scale: float) -> np.ndarray:
+    """16-bit PNG -> float32 metres."""
+    return _decode_depth_png_raw(path).astype(np.float32) / depth_scale
 
 
 def read_file_list(path: str) -> list[tuple[float, list[str]]]:
@@ -340,25 +345,45 @@ class TumSequence:
                 return
             import json
 
-            mtime_ns, size = self._depth_txt_stamp()
-            png_total, png_newest = self._png_stamp()
-            h, w = mm.shape[1:]
-            os.replace(tmp, npy)     # atomic publish (same filesystem)
-            with open(meta_path, "w") as f:
-                json.dump({"n_frames": n, "depth_scale": depth_scale,
-                           "depth_txt_mtime_ns": mtime_ns,
-                           "depth_txt_size": size,
-                           "png_total_size": png_total,
-                           "png_max_mtime_ns": png_newest,
-                           "shape": [h, w]}, f)
+            # The stamps re-stat depth.txt and every PNG: a file deleted
+            # between decode and publish must abandon the cache, not raise
+            # out of the frames() iteration the caller already finished.
+            try:
+                mtime_ns, size = self._depth_txt_stamp()
+                png_total, png_newest = self._png_stamp()
+                h, w = mm.shape[1:]
+                os.replace(tmp, npy)     # atomic publish (same filesystem)
+                with open(meta_path, "w") as f:
+                    json.dump({"n_frames": n, "depth_scale": depth_scale,
+                               "depth_txt_mtime_ns": mtime_ns,
+                               "depth_txt_size": size,
+                               "png_total_size": png_total,
+                               "png_max_mtime_ns": png_newest,
+                               "shape": [h, w]}, f)
+            except OSError:
+                for path in (tmp, npy, meta_path):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
 
         return write_row, finalize
 
-    def frame(self, index: int, depth_scale: float = 5000.0) -> TumFrame:
+    def frame(self, index: int, depth_scale: float = 5000.0,
+              raw: bool = False) -> TumFrame:
+        """`raw=True` yields the depth as uint16 COUNTS (no ÷depth_scale):
+        the bit-exact 2-byte/px upload format — the device divides by
+        depth_scale in frontend.preprocess (CLI --upload-raw).  A cached
+        f32 sidecar reconstructs the counts exactly: the ÷scale relative
+        error is ~2⁻²⁴, far below the 0.5-count rounding threshold."""
         ts, (rel_path, *_) = self.depth_list[index]
         mm = self._open_cache(depth_scale)
         if mm is not None:
             depth = np.asarray(mm[index])
+            if raw:
+                depth = np.round(depth * depth_scale).astype(np.uint16)
+        elif raw:
+            depth = _decode_depth_png_raw(os.path.join(self.root, rel_path))
         else:
             depth = _decode_depth_png(
                 os.path.join(self.root, rel_path), depth_scale)
@@ -372,7 +397,8 @@ class TumSequence:
 
     def frames(self, depth_scale: float = 5000.0, start: int = 0,
                stop: Optional[int] = None, prefetch: int = 8,
-               decode_threads: Optional[int] = None) -> Iterator[TumFrame]:
+               decode_threads: Optional[int] = None,
+               raw: bool = False) -> Iterator[TumFrame]:
         """Iterate frames, decoding ahead on a thread pool (in order).
 
         PNG decode is the host-side bottleneck (~5–6 ms/frame at 640×480 —
@@ -392,7 +418,7 @@ class TumSequence:
         # sidecar as a byproduct (one memcpy per frame; published atomically
         # only when the iteration completes)
         build = None
-        if (start == 0 and stop == len(self)
+        if (not raw and start == 0 and stop == len(self)
                 and self._open_cache(depth_scale) is None):
             build = self._build_cache(depth_scale)
         with ThreadPoolExecutor(max_workers=max(1, decode_threads)) as ex:
@@ -404,7 +430,8 @@ class TumSequence:
             try:
                 while idx < stop or pending:
                     while idx < stop and len(pending) < prefetch:
-                        pending.append(ex.submit(self.frame, idx, depth_scale))
+                        pending.append(ex.submit(self.frame, idx, depth_scale,
+                                                 raw))
                         idx += 1
                     f = pending.popleft().result()
                     if build is not None:

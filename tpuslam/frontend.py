@@ -92,16 +92,29 @@ def preprocess(depth: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
     satisfy project(p, K.scaled(2^-l)) == their own pixel exactly, and
     coarse normals use the coarse neighbor baseline (standard pyramid
     practice).
-    Accepts reduced-precision depth (float16 / uint16-scaled already
-    divided out): all geometry math runs in float32 — quantized INPUT is a
-    bandwidth feature (halves the host→device transfer, which is the
-    end-to-end bottleneck on narrow links — measured 10-30 MB/s on the
-    remote tunnel, i.e. f32 VGA depth alone caps streaming at ~12-55
-    fps-equivalent; see CLI --upload-f16).
+    Accepts three input dtypes (all geometry math runs in float32):
+      * float32 — metres, the canonical path;
+      * uint16 — RAW TUM depth counts, divided by `cfg.depth_scale` here
+        on device.  Same 2 bytes/px as float16 over the wire but ZERO
+        quantization: the division is the identical IEEE f32 divide the
+        host decode performs (data/tum.py _decode_depth_png), so the
+        trajectory is bit-equal to the f32-upload path (VERDICT r4 #3;
+        CLI --upload-raw, tests/test_odometry.py bit-equality test);
+      * float16 — metres, pre-quantized (~1.5 mm at 3 m); kept only for
+        sources whose native format isn't uint16 (CLI --upload-f16).
+    Halving the host→device transfer matters because it is the end-to-end
+    bottleneck on narrow links — measured 10-30 MB/s on the remote
+    tunnel, i.e. f32 VGA depth alone caps streaming at ~12-55
+    fps-equivalent.
     """
     levels = cfg.icp.pyramid_levels
     pyr = []
     d = depth.astype(jnp.float32)
+    if depth.dtype == jnp.uint16:
+        # The barrier keeps XLA from strength-reducing the constant divide
+        # into a reciprocal multiply (measured 1-ulp drift on CPU) — the
+        # bit-equality claim above requires the true IEEE divide.
+        d = d / jax.lax.optimization_barrier(jnp.float32(cfg.depth_scale))
     for li in range(levels):
         with jax.named_scope(f"preprocess.backproject_l{li}"):
             pts, mask = backproject(
@@ -521,6 +534,90 @@ def scan_chunk_jit(depths, K, state: ScanState, cfg: SLAMConfig):
     return scan_chunk(depths, K, state, cfg)
 
 
+class FrozenState(NamedTuple):
+    """Carry of the frozen-keyframe chunk scan — poses only, no tables."""
+
+    T_kf_cam: jnp.ndarray       # (4, 4) pose vs the FROZEN keyframe
+    last_delta: jnp.ndarray     # (4, 4) last inter-frame motion
+
+
+class FlatFrozen:
+    """Per-frame column layout of `scan_chunk_frozen`'s (C, SIZE) readback.
+    No world pose — the host composes world = T_world_kf · REL_T in f64,
+    which is what makes the deferred backend bit-deterministic (the scan
+    output is pose-correction-independent)."""
+
+    REL_T = slice(0, 16)       # T_kf_cam vs the frozen keyframe, row-major
+    PROMOTE = 16
+    LOST = 17
+    ITERS = 18
+    RMS = 19
+    INLIER_FRACTION = 20
+    SIZE = 21
+
+
+def scan_chunk_frozen(depths: jnp.ndarray, K: Intrinsics, state: FrozenState,
+                      kf_packed: tuple, cfg: SLAMConfig):
+    """Track a chunk against a FROZEN keyframe — the boundary-promotion scan
+    (VERDICT r4 #1).
+
+    `scan_chunk` carries the packed keyframe tables through a
+    `lax.cond(promote)` select, paying ~0.25 ms/frame of carry copies on
+    every UNPROMOTED frame (24% of device frame time — BASELINE.md round-4
+    floor accounting).  Here the tables are a read-only input: the carry is
+    two 4×4 poses, promotion is decided per frame as a FLAG but takes
+    effect at the chunk boundary on the host (SlamSystem.process_chunk in
+    boundary mode promotes the first flagged frame and re-seeds the carry).
+    Within a chunk, frames after the threshold crossing keep tracking
+    against the old keyframe — up to C−1 frames farther than the inline
+    path, still well inside `max_corr_dist` at default thresholds; a chunk
+    that degrades to tracking LOSS replays per-frame exactly as before.
+
+    The readback rows deliberately contain no world pose: tracking is
+    purely relative to the frozen keyframe, so the host can apply backend
+    pose corrections from a PREVIOUS chunk's (deferred) loop-closure
+    attempt before anchoring this chunk's poses — enabling the
+    deterministic overlapped backend without re-running anything.
+    """
+
+    def step(st: FrozenState, depth):
+        pyr = preprocess(depth, K, cfg)
+        T0 = st.T_kf_cam @ damped_velocity(st.last_delta, cfg.cv_damping)
+        out = track_step_packed(kf_packed, pyr, K, T0, cfg)
+        new_state = FrozenState(
+            T_kf_cam=out.T_kf_cam,
+            last_delta=se3.relative(st.T_kf_cam, out.T_kf_cam),
+        )
+        flat = jnp.concatenate([
+            out.T_kf_cam.reshape(16).astype(jnp.float32),
+            jnp.stack([
+                out.promote.astype(jnp.float32),
+                out.lost.astype(jnp.float32),
+                out.icp.iters.astype(jnp.float32),
+                out.icp.rms.astype(jnp.float32),
+                out.icp.inlier_fraction.astype(jnp.float32),
+            ]),
+        ])
+        return new_state, flat
+
+    return jax.lax.scan(step, state, depths)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def scan_chunk_frozen_jit(depths, K, state: FrozenState, kf_packed: tuple,
+                          cfg: SLAMConfig):
+    return scan_chunk_frozen(depths, K, state, kf_packed, cfg)
+
+
+@jax.jit
+def fuse_readbacks_jit(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Concatenate two device results into ONE flat f32 vector so the host
+    pays a single ~30 ms tunnel round trip for both (the deferred backend's
+    closure-attempt rows ride the next chunk's scan readback)."""
+    return jnp.concatenate([a.reshape(-1).astype(jnp.float32),
+                            b.reshape(-1).astype(jnp.float32)])
+
+
 def scan_odometry(depths: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
     """Full-sequence odometry as one jitted `lax.scan` over frames.
 
@@ -573,3 +670,87 @@ def scan_odometry(depths: jnp.ndarray, K: Intrinsics, cfg: SLAMConfig):
 @partial(jax.jit, static_argnames=("cfg",))
 def scan_odometry_jit(depths, K, cfg: SLAMConfig):
     return scan_odometry(depths, K, cfg)
+
+
+def scan_odometry_boundary(depths: jnp.ndarray, K: Intrinsics,
+                           cfg: SLAMConfig, chunk: int = 8):
+    """Full-sequence odometry with BOUNDARY keyframe promotion — the
+    carry-copy-free variant of `scan_odometry` (VERDICT r4 #1).
+
+    Two-level scan: the inner scan tracks `chunk` frames against a FROZEN
+    keyframe (carry = two 4×4 poses — no table select, no per-frame carry
+    copies); the outer scan holds the packed keyframe tables and promotes
+    at most once per chunk boundary: if any frame flagged promotion, the
+    FIRST flagged frame becomes the keyframe (matching the inline path's
+    keyframe placement), re-preprocessed+packed inside the `lax.cond` so
+    the ~0.8 ms cost is paid only on promoting chunks.  The inline scan's
+    per-frame `lax.cond` table select cost ~0.25 ms/frame on every
+    unpromoted frame (BASELINE.md round-4 floor accounting); here the same
+    select costs once per `chunk` frames.
+
+    Semantics delta vs `scan_odometry`: frames after the promotion flag
+    within a chunk track against the OLD keyframe (up to chunk−1 frames
+    farther — still inside `max_corr_dist` at default thresholds), and the
+    keyframe's world pose anchors on the flagged frame's tracked pose.
+    Trajectories agree to ATE noise on the synthetic fixtures
+    (tests/test_odometry.py boundary parity test).
+
+    Args:
+      depths: (F, H, W) float32 metres, F divisible by `chunk`.
+    Returns:
+      poses (F, 4, 4) world←cam, promote flags (F,), inlier fractions (F,).
+    """
+    F = depths.shape[0]
+    if F % chunk:
+        raise ValueError(f"frames ({F}) must be divisible by chunk ({chunk})")
+    chunks = depths.reshape(F // chunk, chunk, *depths.shape[1:])
+
+    def outer(carry, depth_chunk):
+        kf_packed, T_world_kf, T_kf_cam, last_delta = carry
+
+        def inner(st: FrozenState, depth):
+            pyr = preprocess(depth, K, cfg)
+            T0 = st.T_kf_cam @ damped_velocity(st.last_delta, cfg.cv_damping)
+            out = track_step_packed(kf_packed, pyr, K, T0, cfg)
+            new_st = FrozenState(
+                T_kf_cam=out.T_kf_cam,
+                last_delta=se3.relative(st.T_kf_cam, out.T_kf_cam),
+            )
+            return new_st, (out.T_kf_cam, out.promote,
+                            out.icp.inlier_fraction)
+
+        st_end, (rels, promotes, inliers) = jax.lax.scan(
+            inner, FrozenState(T_kf_cam=T_kf_cam, last_delta=last_delta),
+            depth_chunk)
+        world = jnp.einsum("ij,fjk->fik", T_world_kf, rels)
+        any_promote = jnp.any(promotes)
+        p = jnp.argmax(promotes)              # first flagged frame
+
+        def promote_branch():
+            depth_p = jax.lax.dynamic_index_in_dim(
+                depth_chunk, p, axis=0, keepdims=False)
+            return pack_pyramid(preprocess(depth_p, K, cfg), cfg.icp)
+
+        new_packed = jax.lax.cond(any_promote, promote_branch,
+                                  lambda: kf_packed)
+        rel_p = rels[p]
+        new_T_world_kf = jnp.where(any_promote, world[p], T_world_kf)
+        # next chunk's pose vs its (possibly new) keyframe: re-anchor the
+        # chunk-final pose on frame p when promoted
+        new_T_kf_cam = jnp.where(any_promote,
+                                 se3.relative(rel_p, st_end.T_kf_cam),
+                                 st_end.T_kf_cam)
+        new_carry = (new_packed, new_T_world_kf, new_T_kf_cam,
+                     st_end.last_delta)
+        return new_carry, (world, promotes, inliers)
+
+    pyr0 = preprocess(depths[0], K, cfg)
+    init = (pack_pyramid(pyr0, cfg.icp), jnp.eye(4), jnp.eye(4), jnp.eye(4))
+    _, (poses, promotes, inliers) = jax.lax.scan(outer, init, chunks)
+    return (poses.reshape(F, 4, 4), promotes.reshape(F),
+            inliers.reshape(F))
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def scan_odometry_boundary_jit(depths, K, cfg: SLAMConfig, chunk: int = 8):
+    return scan_odometry_boundary(depths, K, cfg, chunk)

@@ -265,6 +265,17 @@ def _icp_loop_projective_fused(
             # into each downstream unpack fusion (measured 7×), and a
             # gather fused into a reduction consumer is 3.4× slower
             # (BASELINE.md roofline #2).
+            # Known tolerance: the kernel re-derives u,v for its
+            # in-bounds/round gate via scalar-broadcast FMA, which can
+            # differ from this dot_general-based projection in the last
+            # bit; a point sitting EXACTLY on a half-pixel boundary can
+            # then round differently and be gated against a neighboring
+            # pixel's row.  Effect: a rare single-point residual
+            # mismatch vs the legacy path (never divergence — the gates
+            # still reject geometrically bad rows).  Accepted as-is
+            # while fused_gn stays a non-default path; if promoted,
+            # feed `flat` (or an in-bounds plane) into the kernel
+            # instead of recomputing the projection.
             rows = lax.optimization_barrier(packed[flat])
         T_new = state.T
         for _k in range(inner):

@@ -17,7 +17,7 @@ from __future__ import annotations
 import queue
 import threading
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import numpy as np
@@ -26,6 +26,13 @@ from tpuslam.backend.posegraph import GraphHost, optimize
 from tpuslam.config import Intrinsics, SLAMConfig
 from tpuslam.frontend import Odometry
 from tpuslam.mapping import VoxelMap
+
+# Information weight of verified loop-closure / relocalization edges
+# relative to odometry edges (1.0).  Used in THREE places that must agree
+# or the fused device-side solve silently diverges from later host
+# re-solves: the fused optimize's candidate weights
+# (_attempt_loop_closure), accepted-closure add_edge, and reloc add_edge.
+LC_EDGE_WEIGHT = 2.0
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_pallas"))
@@ -43,6 +50,24 @@ def _refine_grid_jit(cloud, index, T0, cfg):
     return flat_icp_scalars(align_to_index(cloud, index, T0, cfg))
 
 
+class PendingAttempt(NamedTuple):
+    """A dispatched-but-unsynced fused loop-closure attempt (the deferred
+    backend: rows+poses stay on device until the next chunk boundary)."""
+
+    live: list                  # (i, j, T_init) candidate triples
+    attempted: set              # all attempted pairs
+    packed: object              # device handle: flat rows ++ poses
+    rows_shape: tuple
+    poses_shape: tuple
+    live_nodes: int             # graph live count at dispatch
+
+    @property
+    def size(self) -> int:
+        import math
+
+        return (math.prod(self.rows_shape) + math.prod(self.poses_shape))
+
+
 class SlamSystem:
     """Odometry frontend + pose-graph backend with loop closure."""
 
@@ -55,7 +80,8 @@ class SlamSystem:
                  map_track_mode: str = "projective",
                  sharded_map: bool = False,
                  enable_relocalization: bool = True,
-                 reloc_after: int = 2):
+                 reloc_after: int = 2,
+                 chunk_mode: str = "inline"):
         self.cfg = cfg
         self.odo = Odometry(K, cfg, keep_keyframe_clouds=True)
         self.graph = GraphHost(cfg.posegraph)
@@ -112,6 +138,27 @@ class SlamSystem:
         self._pending_reloc_edges: dict[int, tuple[int, np.ndarray]] = {}
         self.relocalizations: list = []
         self.map_refine_stats: list[dict] = []
+        # Chunked-streaming promotion semantics (frontend.scan_chunk vs
+        # scan_chunk_frozen): "inline" carries the packed keyframe tables
+        # through a per-frame lax.cond select (exact per-frame parity, but
+        # ~0.25 ms/frame of carry copies — BASELINE.md round-4 floor);
+        # "boundary" tracks each chunk against a frozen keyframe and
+        # promotes the first flagged frame at the chunk boundary — no
+        # table in the carry, and the scan output becomes pose-correction-
+        # independent, which is what makes the deferred backend (below)
+        # bit-deterministic.
+        if chunk_mode not in ("inline", "boundary"):
+            raise ValueError(f"chunk_mode must be 'inline' or 'boundary', "
+                             f"got {chunk_mode!r}")
+        self.chunk_mode = chunk_mode
+        # Deferred backend (boundary chunk mode + async_backend): the fused
+        # verify+optimize attempt is DISPATCHED at the chunk boundary but
+        # its readback rides the NEXT chunk's scan readback (one fused
+        # host sync for both — frontend.fuse_readbacks_jit), draining
+        # before that chunk's bookkeeping walk.  Deterministic (no worker
+        # thread) and overlapped (the attempt executes while the host
+        # walks/dispatches).
+        self._pending_attempt: Optional[PendingAttempt] = None
         # PP analogue (SURVEY.md §2c "PP" row): the backend (loop-closure
         # verification + pose-graph GN) runs in a worker thread overlapped
         # with frontend tracking; corrected keyframe poses are applied at
@@ -121,7 +168,11 @@ class SlamSystem:
         self._backend_queue: "queue.Queue[int]" = queue.Queue()
         self._backend_thread: Optional[threading.Thread] = None
         self._backend_error: Optional[BaseException] = None
-        if async_backend:
+        # In boundary chunk mode async means the DEFERRED pipeline (above),
+        # not the worker thread: attempts stay on the main thread so the
+        # closure set is bit-deterministic; per-frame stepping (bootstrap
+        # chunks, remainders, lost replays) runs its attempts inline.
+        if async_backend and chunk_mode == "inline":
             self._backend_thread = threading.Thread(
                 target=self._backend_worker, daemon=True
             )
@@ -141,6 +192,7 @@ class SlamSystem:
 
     def finalize(self) -> None:
         """Drain the async backend and run a final global optimization."""
+        self._drain_pending()
         if self._backend_thread is not None:
             self._backend_queue.put(None)
             self._backend_thread.join(timeout=120)
@@ -166,7 +218,7 @@ class SlamSystem:
                 # with the verified reloc pose — an odometry edge to k-1
                 # would confidently encode the unobserved loss-gap motion
                 anchor, T_ij = self._pending_reloc_edges.pop(k)
-                self.graph.add_edge(anchor, k, T_ij, weight=2.0)
+                self.graph.add_edge(anchor, k, T_ij, weight=LC_EDGE_WEIGHT)
                 self._known_edges.add((anchor, k))
                 self.odo.protect(anchor, k)
                 self._bound_protected()
@@ -244,25 +296,30 @@ class SlamSystem:
         self.odo.T_kf_cam = jnp.asarray(T_rel_new.astype(np.float32))
         self.odo.trajectory[-1] = T_world_cam
 
-    def _attempt_loop_closure(self) -> bool:
-        """One fused propose → verify → optimize attempt, ONE host sync.
+    def _dispatch_closure_attempt(self) -> Optional[PendingAttempt]:
+        """Propose → verify → optimize, fused on device, WITHOUT syncing.
 
         The two-sync shape (read verification rows, decide, then optimize
         and read poses) pays two ~30 ms tunnel round trips per attempt and
         dominated chunked-SLAM throughput (round-4 tunnel probe: async
         dispatches ~1 ms, every sync ~30 ms).  Instead the pose-graph
         optimization is chained ON DEVICE onto the un-synced verification
-        rows: candidate edges enter the solve with weight 2·accept — the
-        device-side gate (backend.verify.passes_gates_traced) — so
-        rejected candidates weigh zero, and verification rows + optimized
-        poses come back in one flat readback.  The host then mirrors the
-        same gate decisions from the same f32 values and either applies
-        the poses (some closure accepted — matching the old
-        attempt-then-optimize semantics) or discards them.
+        rows: candidate edges enter the solve with weight
+        LC_EDGE_WEIGHT·accept — the device-side gate
+        (backend.verify.passes_gates_traced) — so rejected candidates
+        weigh zero, and verification rows + optimized poses come back in
+        one flat readback (`_drain_closure_attempt`, or fused into the
+        next chunk's scan readback by the deferred backend).  The host
+        then mirrors the same gate decisions from the same f32 values and
+        either applies the poses (some closure accepted — matching the
+        old attempt-then-optimize semantics) or discards them.
+
+        Returns None when nothing was verifiable (a dry pass costs zero
+        device dispatches — proposal is host-side numpy).
         """
         import jax.numpy as jnp
 
-        from tpuslam.backend.loopclosure import gate_rows, propose_and_verify
+        from tpuslam.backend.loopclosure import propose_and_verify
         from tpuslam.backend.posegraph import optimize
         from tpuslam.backend.verify import passes_gates_traced
 
@@ -284,7 +341,7 @@ class SlamSystem:
         if rows_dev is None:
             with self._lock:
                 self._failed_pairs.update(attempted)
-            return False
+            return None
         b = rows_dev.shape[0]
         is_real = (jnp.arange(b) < len(live)).astype(rows_dev.dtype)
         accept = passes_gates_traced(rows_dev, self.cfg.posegraph) * is_real
@@ -307,7 +364,7 @@ class SlamSystem:
             edge_j=jnp.concatenate([g.edge_j, cand_j]),
             edge_T=jnp.concatenate([g.edge_T, cand_T]),
             edge_weight=jnp.concatenate(
-                [g.edge_weight, 2.0 * accept]),
+                [g.edge_weight, LC_EDGE_WEIGHT * accept]),
         )
         poses_opt, _cost = optimize(g_ext, self.cfg.posegraph,
                                     live_nodes=live_nodes)
@@ -315,9 +372,25 @@ class SlamSystem:
             rows_dev.reshape(-1).astype(jnp.float32),
             poses_opt.reshape(-1).astype(jnp.float32),
         ])
-        flat = np.asarray(packed)                  # the ONE sync
-        s = flat[: rows_dev.size].reshape(rows_dev.shape)
-        poses = flat[rows_dev.size:].reshape(poses_opt.shape)
+        return PendingAttempt(
+            live=live, attempted=attempted, packed=packed,
+            rows_shape=tuple(rows_dev.shape),
+            poses_shape=tuple(poses_opt.shape), live_nodes=live_nodes)
+
+    def _drain_closure_attempt(self, p: PendingAttempt,
+                               flat: Optional[np.ndarray] = None) -> bool:
+        """Sync (unless `flat` was already read back fused with another
+        result) + gate + commit one dispatched attempt."""
+        from tpuslam.backend.loopclosure import gate_rows
+
+        import math
+
+        if flat is None:
+            flat = np.asarray(p.packed)            # the ONE sync
+        rows_size = math.prod(p.rows_shape)
+        s = flat[:rows_size].reshape(p.rows_shape)
+        poses = flat[rows_size:].reshape(p.poses_shape)
+        live, attempted, live_nodes = p.live, p.attempted, p.live_nodes
         closures = gate_rows(live, s, self.cfg.posegraph)
         with self._lock:
             accepted = {(c.i, c.j) for c in closures}
@@ -326,7 +399,8 @@ class SlamSystem:
             for c in closures:
                 if (c.i, c.j) in self._known_edges:
                     continue
-                self.graph.add_edge(c.i, c.j, c.T_ij, weight=2.0)
+                self.graph.add_edge(c.i, c.j, c.T_ij,
+                                    weight=LC_EDGE_WEIGHT)
                 self._known_edges.add((c.i, c.j))
                 # closure anchors keep their clouds through sparsification —
                 # a revisited place stays verifiable on the next pass
@@ -359,6 +433,22 @@ class SlamSystem:
                     # the bucket): re-solve on the current graph instead
                     self._optimize()
         return bool(closures)
+
+    def _attempt_loop_closure(self) -> bool:
+        """One fused propose → verify → optimize attempt, ONE host sync
+        (dispatch + immediate drain — the synchronous shape)."""
+        p = self._dispatch_closure_attempt()
+        if p is None:
+            return False
+        return self._drain_closure_attempt(p)
+
+    def _drain_pending(self) -> None:
+        """Drain the deferred backend's outstanding attempt, if any (called
+        before any path that must observe a sync-equivalent graph state:
+        per-frame stepping, inline chunks, finalize, checkpointing)."""
+        p, self._pending_attempt = self._pending_attempt, None
+        if p is not None:
+            self._drain_closure_attempt(p)
 
     def _bound_protected(self) -> None:
         """Cap the sparsification-protected anchor set so very long runs
@@ -504,6 +594,114 @@ class SlamSystem:
         self.relocalizations.append(r)
         return True
 
+    def _process_chunk_boundary(self, depths, timestamps) -> np.ndarray:
+        """Boundary-promotion chunk processing (frontend.scan_chunk_frozen).
+
+        The chunk tracks against a FROZEN keyframe (no tables in the scan
+        carry — VERDICT r4 #1), promotion takes effect here at the
+        boundary: the first promote-flagged frame becomes the keyframe
+        (matching the inline path's keyframe placement), frames from it on
+        re-anchor onto it, and the next chunk's carry re-seeds from the
+        re-anchored chunk-final pose.  World poses are composed on the
+        HOST in f64 from the readback's relative poses — the scan output
+        is pose-correction-independent, so the deferred backend
+        (async_backend=True) can apply the PREVIOUS boundary's closure
+        corrections right before this walk and remain bit-identical to
+        the synchronous ordering, while its readback rides this scan's
+        readback in ONE fused host sync (frontend.fuse_readbacks_jit).
+        """
+        import jax.numpy as jnp
+
+        from tpuslam.frontend import (
+            FlatFrozen,
+            FrozenState,
+            fuse_readbacks_jit,
+            pack_pyramid_jit,
+            preprocess_jit,
+            scan_chunk_frozen_jit,
+        )
+
+        odo = self.odo
+        n = depths.shape[0]
+        if odo.kf_packed is None:        # resumed from a checkpoint
+            odo.kf_packed = pack_pyramid_jit(odo.kf_pyr, self.cfg)
+        state = FrozenState(
+            T_kf_cam=jnp.asarray(odo.T_kf_cam),
+            last_delta=jnp.asarray(odo.last_delta),
+        )
+        new_state, ys = scan_chunk_frozen_jit(depths, odo.K, state,
+                                              odo.kf_packed, self.cfg)
+        pending, self._pending_attempt = self._pending_attempt, None
+        if pending is not None:
+            # one host sync covers BOTH the deferred attempt and this scan
+            combined = np.asarray(fuse_readbacks_jit(pending.packed, ys))
+            att = combined[: pending.size]
+            s = combined[pending.size:].reshape(n, FlatFrozen.SIZE)
+            self._drain_closure_attempt(pending, att)
+        else:
+            s = np.asarray(ys)           # the ONE host sync of the chunk
+        if np.any(s[:, FlatFrozen.LOST] > 0.5):
+            # tracking failed mid-chunk: nothing was committed above —
+            # replay the whole chunk per-frame so loss accounting and
+            # relocalization engage exactly as in streaming mode
+            return np.stack([
+                self.process(depths[i], float(timestamps[i]))
+                for i in range(n)
+            ])
+        out = []
+        with self._lock:
+            T_world_kf = odo.T_world_kf.astype(np.float64)
+            rels = [s[i][FlatFrozen.REL_T].reshape(4, 4).astype(np.float64)
+                    for i in range(n)]
+            flags = s[:, FlatFrozen.PROMOTE] > 0.5
+            p = int(np.argmax(flags)) if flags.any() else -1
+            kf_id = len(odo.keyframes) - 1
+            base = len(odo.frame_refs)
+            for i in range(n):
+                T_world_cam = T_world_kf @ rels[i]
+                odo.frame_refs.append((kf_id, rels[i]))
+                odo.stats.append({
+                    "iters": int(s[i][FlatFrozen.ITERS]),
+                    "rms": float(s[i][FlatFrozen.RMS]),
+                    "inliers": float(s[i][FlatFrozen.INLIER_FRACTION]),
+                    "promoted": i == p,
+                    "lost": False,
+                })
+                odo.trajectory.append(T_world_cam)
+                odo.timestamps.append(float(timestamps[i]))
+                odo.frame_idx += 1
+                out.append(T_world_cam)
+            if p >= 0:
+                # boundary promotion: frame p becomes the new keyframe;
+                # its pyramid is re-preprocessed from the (device-resident)
+                # chunk — async dispatches, no sync
+                odo.T_world_kf = (T_world_kf @ rels[p]).astype(np.float32)
+                pyr = preprocess_jit(depths[p], odo.K, self.cfg)
+                odo._promote(pyr, float(timestamps[p]))
+                odo.keyframes[-1] = odo.keyframes[-1]._replace(
+                    index=odo.frame_idx - n + p)
+                new_id = len(odo.keyframes) - 1
+                inv_rel_p = np.linalg.inv(rels[p])
+                for i in range(p, n):
+                    odo.frame_refs[base + i] = (new_id, inv_rel_p @ rels[i])
+                odo.T_kf_cam = jnp.asarray(
+                    (inv_rel_p @ rels[n - 1]).astype(np.float32))
+            else:
+                odo.T_kf_cam = new_state.T_kf_cam
+            odo.last_delta = new_state.last_delta
+            odo.last_pyr = None      # per-frame pyramids are not retained
+            self._lost_streak = 0
+            self._reloc_backoff = self.reloc_after
+            new_kf = self._sync_graph_with_keyframes()
+        if new_kf and self.enable_loop_closure:
+            att = self._dispatch_closure_attempt()
+            if att is not None:
+                if self.async_backend:
+                    self._pending_attempt = att   # deferred to next chunk
+                else:
+                    self._drain_closure_attempt(att)
+        return np.stack(out)
+
     def process_chunk(self, depths, timestamps=None) -> np.ndarray:
         """Process a CHUNK of frames with one device dispatch + one readback.
 
@@ -554,7 +752,11 @@ class SlamSystem:
             # map refinement is per-frame by design; an unseeded keyframe
             # means this is the first chunk — step it per-frame once rather
             # than compile an odd-length scan for the remainder
+            # (self.process drains any deferred attempt first)
             return per_frame(0)
+        if self.chunk_mode == "boundary":
+            return self._process_chunk_boundary(depths, timestamps)
+        self._drain_pending()    # mode-mixing safety for the inline path
         if odo.kf_packed is None:        # resumed from a checkpoint
             odo.kf_packed = pack_pyramid_jit(odo.kf_pyr, self.cfg)
         state = ScanState(
@@ -610,7 +812,7 @@ class SlamSystem:
             new_kf = self._sync_graph_with_keyframes()
             num_new = self._num_graph_nodes - kf_before
         if new_kf:
-            if self.async_backend:
+            if self.async_backend and self._backend_thread is not None:
                 # opportunity parity with the per-frame path: one queued
                 # attempt PER promotion, not per chunk — a single item per
                 # chunk was measured to drop verified closures 38 → 34/23
@@ -628,6 +830,7 @@ class SlamSystem:
         return np.stack(out)
 
     def process(self, depth: np.ndarray, timestamp: float = 0.0) -> np.ndarray:
+        self._drain_pending()
         with self._lock:
             self.odo.process(depth, timestamp)
             if self.odo.stats[-1].get("lost"):
@@ -650,7 +853,7 @@ class SlamSystem:
                 self._reloc_backoff = self.reloc_after
             new_kf = self._sync_graph_with_keyframes()
         if new_kf:
-            if self.async_backend:
+            if self.async_backend and self._backend_thread is not None:
                 self._backend_queue.put(self._num_graph_nodes)
             elif self.enable_loop_closure:
                 # optimization is fused into the attempt (one sync)
