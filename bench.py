@@ -15,6 +15,8 @@ def main() -> int:
     r = run_bench(frames=frames, height=480, width=640)
     baseline_fps = 60.0  # BASELINE.json:5 target (no published reference numbers)
     detail = {
+        "headline_variant": r.get("headline_variant", "classic"),
+        "fps_classic": round(r["fps_per_chip"], 1),
         "ms_per_frame": round(r["ms_per_frame"], 3),
         "icp_iter_latency_ms": round(r["icp_iter_latency_ms"], 3),
         "ate_rmse_m": round(r["ate_rmse_m"], 6),
@@ -23,6 +25,10 @@ def main() -> int:
         "device": r["device"],
         "frames": r["frames"],
     }
+    if "fps_per_chip_boundary" in r:
+        detail["fps_boundary"] = round(r["fps_per_chip_boundary"], 1)
+        detail["ms_per_frame_boundary"] = round(r["ms_per_frame_boundary"], 3)
+        detail["ate_rmse_m_boundary"] = round(r["ate_rmse_m_boundary"], 6)
     if "slam" in r:
         # full-system numbers (host-driven SlamSystem incl. loop closure +
         # optimization; latency-bound over the remote-TPU tunnel)
@@ -32,6 +38,9 @@ def main() -> int:
         detail["slam_fps_chunked"] = round(r["slam"]["slam_fps_chunked"], 1)
         detail["slam_fps_chunked_async"] = round(
             r["slam"]["slam_fps_chunked_async"], 1)
+        detail["slam_fps_chunked_inline"] = round(
+            r["slam"].get("slam_fps_chunked_inline", 0.0), 1)
+        detail["slam_fps_reps"] = r["slam"].get("slam_fps_reps")
         detail["slam_loop_closures_chunked_async"] = (
             r["slam"]["loop_closures_chunked_async"])
         detail["upload_fps_equiv"] = round(r["slam"]["upload_fps_equiv"], 1)
@@ -41,13 +50,14 @@ def main() -> int:
         detail["slam_loop_closures"] = r["slam"]["loop_closures"]
         detail["slam_loop_closures_chunked"] = (
             r["slam"]["loop_closures_chunked"])
+    fps = r.get("fps_headline", r["fps_per_chip"])
     print(
         json.dumps(
             {
                 "metric": "icp_odometry_fps_per_chip",
-                "value": round(r["fps_per_chip"], 3),
+                "value": round(fps, 3),
                 "unit": "frames/s/chip@640x480",
-                "vs_baseline": round(r["fps_per_chip"] / baseline_fps, 3),
+                "vs_baseline": round(fps / baseline_fps, 3),
                 "detail": detail,
             }
         )

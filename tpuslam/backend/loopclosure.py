@@ -144,6 +144,56 @@ def propose_candidates(
     return cands
 
 
+def propose_descriptor_candidates(
+    keyframes,
+    cfg: PoseGraphConfig,
+    exclude_pairs: set[tuple[int, int]],
+    verifiable: np.ndarray,
+    max_candidates: int,
+) -> list[tuple[int, int]]:
+    """Pose-free candidate pairs by depth-descriptor similarity
+    (frontend.depth_descriptor; PoseGraphConfig.lc_descriptor — the
+    drift-robust complement to `propose_candidates`, VERDICT r4 #6).
+
+    Distance between two keyframes: weighted relative block-depth
+    difference 2·Σw|za−zb| / Σw(za+zb) over mutually valid blocks
+    (w = min of the two valid fractions); pairs with under 25% mutual
+    block coverage never match.  Returns up to `max_candidates` closest
+    pairs under `lc_desc_max_dist`, gap-gated like proximity proposal —
+    but with NO pose term, so an arbitrarily drifted revisit still
+    surfaces.  Verification (with identity init) decides; this only
+    nominates."""
+    ids = [k for k, r in enumerate(keyframes)
+           if getattr(r, "desc", None) is not None
+           and k < len(verifiable) and verifiable[k]]
+    if len(ids) < 2:
+        return []
+    D = np.stack([np.asarray(keyframes[k].desc, dtype=np.float32)
+                  for k in ids])
+    n = D.shape[1] // 2
+    Z, Fv = D[:, :n], D[:, n:]
+    W = np.minimum(Fv[:, None, :], Fv[None, :, :])          # (K, K, n)
+    num = (W * np.abs(Z[:, None, :] - Z[None, :, :])).sum(-1)
+    den = (W * (Z[:, None, :] + Z[None, :, :])).sum(-1) + 1e-6
+    d = 2.0 * num / den
+    kf_ids = np.asarray(ids)
+    eligible = (
+        (d < cfg.lc_desc_max_dist)
+        & (W.sum(-1) >= 0.25 * n)
+        & (kf_ids[None, :] - kf_ids[:, None] > cfg.lc_min_gap)
+    )
+    ii, jj = np.nonzero(eligible)
+    out: list[tuple[int, int]] = []
+    for o in np.argsort(d[ii, jj], kind="stable"):
+        pair = (int(kf_ids[ii[o]]), int(kf_ids[jj[o]]))
+        if pair in exclude_pairs:
+            continue
+        out.append(pair)
+        if len(out) >= max_candidates:
+            break
+    return out
+
+
 def verify_closure(
     cloud_i: PointCloud,
     cloud_j: PointCloud,
@@ -222,9 +272,25 @@ def propose_and_verify(
             kf_poses[c.j])
         live.append((c.i, c.j, T_init.astype(np.float32)))
         attempted.add((c.i, c.j))
+    cap = max_candidates
+    if getattr(pg_cfg, "lc_descriptor", False):
+        desc_pairs = propose_descriptor_candidates(
+            keyframes, pg_cfg,
+            (exclude_pairs or set()) | attempted,
+            verifiable, int(pg_cfg.lc_desc_candidates))
+        for (i, j) in desc_pairs:
+            # identity init: a descriptor match implies a similar viewpoint
+            # — the current (possibly drift-poisoned) pose estimate is
+            # deliberately NOT used
+            live.append((i, j, np.eye(4, dtype=np.float32)))
+            attempted.add((i, j))
+        if desc_pairs:
+            cap = max_candidates + int(pg_cfg.lc_desc_candidates)
+            while cap & (cap - 1):       # keep batch buckets powers of two
+                cap += 1
     if not live:
         return live, None, attempted
-    padded = _pad_batch(live, max_candidates)
+    padded = _pad_batch(live, cap)
     clouds_j = PointCloud(
         points=jnp.stack([keyframes[j].cloud.points for _, j, _ in padded]),
         normals=jnp.stack([keyframes[j].cloud.normals for _, j, _ in padded]),

@@ -139,16 +139,20 @@ def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
         slam.finalize()
         return time.perf_counter() - t0, slam
 
-    def one_pass_chunked(chunk: int, async_backend: bool) -> tuple[float, object]:
+    def one_pass_chunked(chunk: int, async_backend: bool,
+                         chunk_mode: str = "boundary") -> tuple[float, object]:
         # device-side chunked streaming (VERDICT r3 #1): one dispatch + one
         # readback per CHUNK of frames instead of per frame — the host-loop
         # dispatch floor (~25-30 ms/round trip on the remote tunnel)
-        # amortizes over `chunk` frames; backend work runs at chunk
-        # boundaries as fused one-sync verify+optimize attempts, optionally
-        # overlapped in the async worker (the PP analogue finally pays:
-        # measured 93 → 111 fps on this loop with identical closures)
+        # amortizes over `chunk` frames.  "boundary" mode (the production
+        # default, VERDICT r4 #1) tracks each chunk against a frozen
+        # keyframe (no tables in the scan carry) and runs at most ONE
+        # fused verify+optimize attempt per chunk; with async_backend the
+        # attempt's readback rides the next chunk's scan sync (the
+        # deferred deterministic backend — VERDICT r4 #4/#5).  "inline"
+        # is the legacy per-frame-parity path (threaded async worker).
         slam = SlamSystem(K, cfg, enable_loop_closure=True,
-                          async_backend=async_backend)
+                          async_backend=async_backend, chunk_mode=chunk_mode)
         t0 = time.perf_counter()
         for i in range(0, frames - frames % chunk, chunk):
             slam.process_chunk(dev[i:i + chunk], ts_all[i:i + chunk])
@@ -157,35 +161,60 @@ def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
         slam.finalize()
         return time.perf_counter() - t0, slam
 
+    def best_of(fn, reps: int = 3):
+        # Best-of-N like the odometry headline: the tunnel's latency varies
+        # ±25% between runs (BASELINE.md round 4) and a single-shot capture
+        # cannot distinguish a real async win from noise (VERDICT r4 weak
+        # #1).  All reps are reported.
+        walls, best = [], None
+        for _ in range(reps):
+            w, s = fn()
+            if not walls or w < min(walls):
+                best = s
+            walls.append(w)
+        return min(walls), best, [round(frames / w, 1) for w in walls]
+
     chunk = 8
-    one_pass(False)                      # compile warmup (shared jit cache)
-    one_pass_chunked(chunk, False)       # scan-chunk compile warmup
-    wall_sync, slam = one_pass(False)
-    wall_async, _ = one_pass(True)
-    wall_chunked, slam_c = one_pass_chunked(chunk, False)
-    wall_chunked_a, slam_ca = one_pass_chunked(chunk, True)
-    ts, est = slam.trajectory()
-    m = ate_rmse(ts, est, np.arange(frames) / 30.0, gt, max_difference=0.005)
-    ts_c, est_c = slam_c.trajectory()
-    m_c = ate_rmse(ts_c, est_c, np.arange(frames) / 30.0, gt,
-                   max_difference=0.005)
-    ts_ca, est_ca = slam_ca.trajectory()
-    m_ca = ate_rmse(ts_ca, est_ca, np.arange(frames) / 30.0, gt,
-                    max_difference=0.005)
+    # one uncounted pass per variant: compiles (scan flavors, attempt batch
+    # buckets, fuse shapes) must not land inside timed reps
+    one_pass(False)
+    one_pass_chunked(chunk, False, "inline")
+    one_pass_chunked(chunk, False, "boundary")
+    one_pass_chunked(chunk, True, "boundary")
+    wall_sync, slam, reps_sync = best_of(lambda: one_pass(False))
+    wall_async, _, reps_async = best_of(lambda: one_pass(True))
+    wall_chunked, slam_c, reps_c = best_of(
+        lambda: one_pass_chunked(chunk, False, "boundary"))
+    wall_chunked_a, slam_ca, reps_ca = best_of(
+        lambda: one_pass_chunked(chunk, True, "boundary"))
+    wall_inline, slam_ci, reps_ci = best_of(
+        lambda: one_pass_chunked(chunk, False, "inline"))
+
+    def _ate(s):
+        t, est = s.trajectory()
+        return ate_rmse(t, est, np.arange(frames) / 30.0, gt,
+                        max_difference=0.005)["rmse"]
+
     return {
         "slam_fps": frames / wall_sync,
         "slam_fps_async": frames / wall_async,
         "async_gain": wall_sync / wall_async,
         "slam_fps_chunked": frames / wall_chunked,
         "slam_fps_chunked_async": frames / wall_chunked_a,
+        "slam_fps_chunked_inline": frames / wall_inline,
+        "slam_fps_reps": {"sync": reps_sync, "async": reps_async,
+                          "chunked": reps_c, "chunked_async": reps_ca,
+                          "chunked_inline": reps_ci},
         "upload_fps_equiv": frames / upload_s,
         "chunk": chunk,
-        "slam_ate_rmse_m": m["rmse"],
-        "slam_chunked_ate_rmse_m": m_c["rmse"],
-        "slam_chunked_async_ate_rmse_m": m_ca["rmse"],
+        "slam_ate_rmse_m": _ate(slam),
+        "slam_chunked_ate_rmse_m": _ate(slam_c),
+        "slam_chunked_async_ate_rmse_m": _ate(slam_ca),
+        "slam_chunked_inline_ate_rmse_m": _ate(slam_ci),
         "loop_closures": len(slam.closures),
         "loop_closures_chunked": len(slam_c.closures),
         "loop_closures_chunked_async": len(slam_ca.closures),
+        "loop_closures_chunked_inline": len(slam_ci.closures),
         "keyframes": len(slam.odo.keyframes),
         "keyframes_chunked": len(slam_c.odo.keyframes),
         "frames": frames,
@@ -193,7 +222,8 @@ def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
 
 
 def bench_scale(frames: int = 2000, height: int = 240, width: int = 320,
-                chunk: int = 8) -> dict:
+                chunk: int = 8, chunk_mode: str = "boundary",
+                async_backend: bool = True) -> dict:
     """BASELINE config-5 SCALE on the real device (VERDICT r3 item 3).
 
     The 2,000-frame capacity proof (tests/test_config5_scale.py) has only
@@ -242,7 +272,14 @@ def bench_scale(frames: int = 2000, height: int = 240, width: int = 320,
 
     import jax.numpy as jnp
 
-    slam = SlamSystem(K, cfg, enable_loop_closure=True)
+    # Boundary chunk mode + the deferred backend are the round-5 defaults:
+    # round 4's inline run was backend-sync-bound (592 serial fused
+    # attempts × ~30 ms tunnel RTT — VERDICT r4 weak #4); boundary mode
+    # promotes at most once per chunk (attempts coalesce naturally) and
+    # the deferred pipeline folds each attempt's readback into the next
+    # chunk's scan sync.
+    slam = SlamSystem(K, cfg, enable_loop_closure=True,
+                      chunk_mode=chunk_mode, async_backend=async_backend)
     dev = jnp.asarray(depths)
     np.asarray(jnp.sum(dev[-1]))   # fence: device-resident input boundary
     ts_all = np.arange(frames) / 30.0
@@ -259,6 +296,8 @@ def bench_scale(frames: int = 2000, height: int = 240, width: int = 320,
     return {
         "frames": frames,
         "resolution": [height, width],
+        "chunk_mode": chunk_mode,
+        "async_backend": async_backend,
         "fps": frames / wall,
         "wall_s": wall,
         "render_s": render_s,
@@ -316,7 +355,10 @@ def bench_pathology(frames: int = 60, height: int = 480,
     ts_all = np.arange(frames) / 30.0
 
     def run():
-        slam = SlamSystem(K, cfg, enable_loop_closure=True)
+        # boundary chunk mode — the production default; a burst chunk that
+        # degrades to LOST replays per-frame with inline semantics
+        slam = SlamSystem(K, cfg, enable_loop_closure=True,
+                          chunk_mode="boundary", async_backend=True)
         t0 = _time.perf_counter()
         # chunked streaming; a chunk reporting tracking loss automatically
         # replays per-frame so relocalization semantics are unchanged
@@ -404,6 +446,39 @@ def run_bench(frames: int = 120, height: int = 480, width: int = 640,
     ts = np.arange(frames, dtype=np.float64)
     m = ate_rmse(ts, np.asarray(out[0]), ts, np.asarray(_poses))
     result["ate_rmse_m"] = m["rmse"]
+
+    # --- boundary-promotion scan (VERDICT r4 #1): same odometry, keyframe
+    # tables held in the OUTER chunk-level carry instead of selected per
+    # frame — measured against the classic scan with its own ATE guard;
+    # the headline is whichever passing variant is faster ---
+    from tpuslam.frontend import scan_odometry_boundary_jit
+
+    bchunk = 8
+    fb = frames - frames % bchunk       # trim to a whole number of chunks
+    depths_b = depths[:fb]
+    _force(scan_odometry_boundary_jit(depths_b, K, cfg, bchunk))
+    walls_b = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_b = scan_odometry_boundary_jit(depths_b, K, cfg, bchunk)
+        _force(out_b)
+        walls_b.append(time.perf_counter() - t0)
+    wall_b = min(walls_b)
+    result["fps_per_chip_boundary"] = fb / wall_b
+    result["ms_per_frame_boundary"] = wall_b / fb * 1e3
+    result["fps_reps_boundary"] = [round(fb / w, 1) for w in walls_b]
+    m_b = ate_rmse(ts[:fb], np.asarray(out_b[0]), ts[:fb],
+                   np.asarray(_poses)[:fb])
+    result["ate_rmse_m_boundary"] = m_b["rmse"]
+    # headline selection: fastest variant whose ATE stays at the noise
+    # floor (≤ 1 mm on this clean synthetic orbit — both sit ~3e-5)
+    if m_b["rmse"] < 1e-3 and (m["rmse"] >= 1e-3
+                               or wall_b / fb < wall / frames):
+        result["headline_variant"] = "boundary"
+        result["fps_headline"] = result["fps_per_chip_boundary"]
+    else:
+        result["headline_variant"] = "classic"
+        result["fps_headline"] = result["fps_per_chip"]
 
     # --- per-ICP-iteration latency: run a fixed 50-iteration finest-level
     # alignment in ONE dispatch so the remote-dispatch overhead amortizes ---

@@ -335,6 +335,15 @@ def cmd_bench(args) -> int:
     from tpuslam.bench.harness import bench_pathology, bench_scale, run_bench
 
     _init_distributed(args)
+    if getattr(args, "coldstart", False):
+        # per-program trace/compile-load/first-run breakdown for a fresh
+        # process (the minutes-long cache-load mystery — VERDICT r4 #7)
+        from tpuslam.bench.coldstart import profile_coldstart
+
+        print(json.dumps(profile_coldstart(
+            frames=min(args.frames, 32), height=args.height,
+            width=args.width)))
+        return 0
     if getattr(args, "scale", False):
         # BASELINE config-5 capacity run on the attached backend
         result = bench_scale(frames=args.frames, height=args.height,
@@ -395,6 +404,10 @@ def main(argv=None) -> int:
     p.add_argument("--pathology", action="store_true",
                    help="run the degraded-sensor smoke instead (Kinect "
                         "z²-noise + dropout holes + rotation burst)")
+    p.add_argument("--coldstart", action="store_true",
+                   help="profile fresh-process cold start instead: per-"
+                        "program trace / compile-or-cache-load / first-run "
+                        "breakdown (run twice to compare miss vs hit)")
     _add_distributed(p)
     p.set_defaults(fn=cmd_bench)
 

@@ -233,6 +233,19 @@ class PoseGraphConfig:
     # slide along dominant planes with near-zero point-to-plane residual and
     # the "closure" just re-encodes drift.
     lc_min_normal_coverage: float = 0.03
+    # Pose-FREE loop-closure candidates from per-keyframe depth descriptors
+    # (frontend.depth_descriptor): proximity proposal alone is drift-
+    # bounded — a revisit whose accumulated drift exceeds lc_max_dist is
+    # never proposed.  Descriptor pairs enter the SAME gated verification
+    # batch with an IDENTITY initial guess (a descriptor match implies a
+    # similar viewpoint, which is the projective-ICP convergence basin).
+    # Off by default: zero cost when disabled.
+    lc_descriptor: bool = False
+    # Max relative block-depth difference for a descriptor candidate
+    # (propose_descriptor_candidates: weighted |Δz|/(z₁+z₂) over mutually
+    # valid blocks ∈ [0, ~2]); 0.10 ≈ "same structure within 10%".
+    lc_desc_max_dist: float = 0.10
+    lc_desc_candidates: int = 2          # per verification pass
 
 
 @dataclasses.dataclass(frozen=True)

@@ -277,6 +277,40 @@ class VerifyTable(NamedTuple):
     level: int                  # pyramid level (scales the intrinsics)
 
 
+DESC_GRID = (6, 8)              # (gh, gw) blocks of the coarsest level
+
+
+@partial(jax.jit, static_argnames=("gh", "gw"))
+def depth_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
+                     gh: int = DESC_GRID[0],
+                     gw: int = DESC_GRID[1]) -> jnp.ndarray:
+    """Pose-FREE per-keyframe appearance descriptor (VERDICT r4 #6).
+
+    Proximity-only loop-closure proposal is drift-bounded: a revisit whose
+    accumulated drift exceeds `lc_max_dist` is never proposed — the exact
+    regime loop closure exists for.  This descriptor is the pose-free
+    candidate source: a gh×gw grid of mean-depth + valid-fraction blocks
+    over the COARSEST pyramid level (a tracking byproduct — one tiny
+    reduction per promotion, stored as 2·gh·gw floats).  Similar
+    descriptors ⇒ similar viewpoint of the same structure ⇒ the existing
+    projective ICP verification converges from an IDENTITY initial guess,
+    which is precisely the subset of revisits that are verifiable at all.
+    Matching is host-side numpy (backend.loopclosure
+    propose_descriptor_candidates) against `PoseGraphConfig.lc_desc_*`.
+    """
+    z = points[..., 2]
+    h, w = z.shape
+    hc, wc = (h // gh) * gh, (w // gw) * gw
+    zb = jnp.where(mask, z, 0.0)[:hc, :wc].reshape(
+        gh, hc // gh, gw, wc // gw)
+    mb = mask[:hc, :wc].reshape(gh, hc // gh, gw, wc // gw).astype(z.dtype)
+    cnt = mb.sum(axis=(1, 3))
+    mean_z = zb.sum(axis=(1, 3)) / jnp.maximum(cnt, 1.0)
+    frac = cnt / float((hc // gh) * (wc // gw))
+    return jnp.concatenate([mean_z.reshape(-1),
+                            frac.reshape(-1)]).astype(jnp.float32)
+
+
 class KeyframeRecord(NamedTuple):
     """Host-side record of a promoted keyframe (for the backend)."""
 
@@ -288,6 +322,10 @@ class KeyframeRecord(NamedTuple):
     # sparsification; None on records restored from old checkpoints
     # (verification then falls back to the grid-hash path)
     verify: Optional[VerifyTable] = None
+    # pose-free appearance descriptor (depth_descriptor) — only computed
+    # when PoseGraphConfig.lc_descriptor is on; survives sparsification
+    # only alongside the cloud (an unverifiable candidate is useless)
+    desc: Optional[np.ndarray] = None
 
 
 class Odometry:
@@ -338,6 +376,7 @@ class Odometry:
         self.kf_packed = pack_pyramid_jit(pyr, self.cfg)
         cloud = None
         verify = None
+        desc = None
         if self.keep_keyframe_clouds:
             cloud = self._kf_cloud(pyr)
             # retain the tracking table at verify_level for the backend's
@@ -347,6 +386,9 @@ class Odometry:
             h, w, _ = pyr[lvl].points.shape
             verify = VerifyTable(packed=self.kf_packed[lvl],
                                  height=h, width=w, level=lvl)
+            if getattr(self.cfg.posegraph, "lc_descriptor", False):
+                # device handle; materialized lazily at proposal time
+                desc = depth_descriptor(pyr[-1].points, pyr[-1].mask)
         self.keyframes.append(
             KeyframeRecord(
                 index=self.frame_idx,
@@ -354,6 +396,7 @@ class Odometry:
                 T_world_kf=self.T_world_kf.copy(),
                 cloud=cloud,
                 verify=verify,
+                desc=desc,
             )
         )
         if self.keep_keyframe_clouds:
@@ -400,8 +443,8 @@ class Odometry:
             if drop_at is None:
                 return  # everything protected — bounded by the protections
             k = retained[drop_at]
-            self.keyframes[k] = self.keyframes[k]._replace(cloud=None,
-                                                           verify=None)
+            self.keyframes[k] = self.keyframes[k]._replace(
+                cloud=None, verify=None, desc=None)
             retained.pop(drop_at)
             pos = np.delete(pos, drop_at, axis=0)
 
@@ -541,6 +584,27 @@ class FrozenState(NamedTuple):
     last_delta: jnp.ndarray     # (4, 4) last inter-frame motion
 
 
+def _vmem_resident(kf_packed: tuple) -> tuple:
+    """Force the packed gather tables into a LOOP-BODY-PRODUCED buffer so
+    XLA's scoped-memory allocator can place them in VMEM.
+
+    Measured round 5 (640×480, 64-frame scan, best-of-3 over the tunnel):
+    a scan whose tables are a loop-INVARIANT input gathers from HBM —
+    2.01 ms/frame vs the classic carry+select scan's 1.43 (the round-4
+    "carry copies" were, it turns out, the price of VMEM residency, not
+    reclaimable waste — the allocator only promotes buffers produced
+    inside the loop body).  A genuine elementwise `t × 1` behind an
+    optimization_barrier (so the constant cannot fold away; ×1.0 is exact
+    for every IEEE dtype) re-creates such a buffer at plain copy
+    bandwidth: 1.41 ms/frame — faster than BOTH the invariant-input form
+    (HBM gather, +0.57) and the classic carry select.  A full-shape
+    dynamic_slice with a barriered zero offset does NOT work (elided —
+    still 1.98)."""
+    return tuple(
+        t * jax.lax.optimization_barrier(jnp.ones((), t.dtype))
+        for t in kf_packed)
+
+
 class FlatFrozen:
     """Per-frame column layout of `scan_chunk_frozen`'s (C, SIZE) readback.
     No world pose — the host composes world = T_world_kf · REL_T in f64,
@@ -583,7 +647,7 @@ def scan_chunk_frozen(depths: jnp.ndarray, K: Intrinsics, state: FrozenState,
     def step(st: FrozenState, depth):
         pyr = preprocess(depth, K, cfg)
         T0 = st.T_kf_cam @ damped_velocity(st.last_delta, cfg.cv_damping)
-        out = track_step_packed(kf_packed, pyr, K, T0, cfg)
+        out = track_step_packed(_vmem_resident(kf_packed), pyr, K, T0, cfg)
         new_state = FrozenState(
             T_kf_cam=out.T_kf_cam,
             last_delta=se3.relative(st.T_kf_cam, out.T_kf_cam),
@@ -711,7 +775,8 @@ def scan_odometry_boundary(depths: jnp.ndarray, K: Intrinsics,
         def inner(st: FrozenState, depth):
             pyr = preprocess(depth, K, cfg)
             T0 = st.T_kf_cam @ damped_velocity(st.last_delta, cfg.cv_damping)
-            out = track_step_packed(kf_packed, pyr, K, T0, cfg)
+            out = track_step_packed(_vmem_resident(kf_packed), pyr, K, T0,
+                                    cfg)
             new_st = FrozenState(
                 T_kf_cam=out.T_kf_cam,
                 last_delta=se3.relative(st.T_kf_cam, out.T_kf_cam),

@@ -91,6 +91,15 @@ def save_checkpoint(path: str, system, frame_idx: int) -> None:
             [np.asarray(v.packed) for _, v in vt])
         data["kf_verify_meta"] = np.asarray(
             [v0.height, v0.width, v0.level], dtype=np.int32)
+    # pose-free loop-closure descriptors (lc_descriptor) — tiny; a resumed
+    # run keeps its drift-robust proposal coverage
+    descs = [(k, getattr(r, "desc", None)) for k, r in
+             enumerate(odo.keyframes)]
+    descs = [(k, d) for k, d in descs if d is not None]
+    if descs:
+        data["kf_desc_ids"] = np.asarray([k for k, _ in descs],
+                                         dtype=np.int32)
+        data["kf_desc"] = np.stack([np.asarray(d) for _, d in descs])
     if _is_slam(system):
         g = system.graph
         data.update(
@@ -154,6 +163,9 @@ def load_checkpoint(path: str, system) -> int:
     if "kf_verify_ids" in z:
         verify_row = {int(k): r for r, k in enumerate(z["kf_verify_ids"])}
         vh, vw, vlvl = (int(v) for v in z["kf_verify_meta"])
+    desc_row = {}
+    if "kf_desc_ids" in z:
+        desc_row = {int(k): r for r, k in enumerate(z["kf_desc_ids"])}
     odo.keyframes = []
     for k in range(n_kf):
         cloud = None
@@ -178,6 +190,7 @@ def load_checkpoint(path: str, system) -> int:
                 T_world_kf=z["kf_poses"][k].astype(np.float32),
                 cloud=cloud,
                 verify=verify,
+                desc=(z["kf_desc"][desc_row[k]] if k in desc_row else None),
             )
         )
     # recency sequence is not persisted — restored anchors start equal
