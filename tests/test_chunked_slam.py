@@ -228,6 +228,31 @@ def test_boundary_deferred_backend_bit_deterministic(two_lap_sequence):
             r.index for r in sync.odo.keyframes]
 
 
+def test_superchunk_matches_chunk8(two_lap_sequence):
+    """A super-chunk (N×8 frames per call) runs N sub-chunks in ONE
+    dispatch with on-device boundary promotion — the tracking and
+    keyframe decisions must be identical to N separate 8-frame calls
+    (backend attempts run at call boundaries, so closure timing may
+    differ; the trajectory must stay equivalent)."""
+    gt, depths = two_lap_sequence
+    ref = _run_boundary(depths, chunk=8)
+    sup = _run_boundary(depths, chunk=24)         # 3 sub-chunks per call
+
+    assert [r.index for r in sup.odo.keyframes] == [
+        r.index for r in ref.odo.keyframes]
+    assert len(sup.closures) >= 1
+    ts_s, est_s = sup.trajectory()
+    gt_ts = np.arange(FRAMES) / 30.0
+    m_s = ate_rmse(ts_s, est_s, gt_ts, gt, max_difference=0.005)
+    assert m_s["rmse"] < 0.02, m_s
+    # deferred super-chunks stay bit-deterministic too
+    d1 = _run_boundary(depths, chunk=24, async_backend=True)
+    d2 = _run_boundary(depths, chunk=24, async_backend=True)
+    np.testing.assert_array_equal(d1.trajectory()[1], d2.trajectory()[1])
+    assert [(c.i, c.j) for c in d1.closures] == [
+        (c.i, c.j) for c in d2.closures]
+
+
 def test_boundary_lost_replays_per_frame(two_lap_sequence):
     """Boundary mode keeps the lost-chunk per-frame replay semantics."""
     gt, depths = two_lap_sequence

@@ -246,6 +246,24 @@ def _kf_cloud_jit(frame: Frame, voxel_size: float, capacity: int,
                             origin, extent)
 
 
+@partial(jax.jit, static_argnames=("cfg", "with_desc"))
+def promote_bundle_jit(depth, K: Intrinsics, cfg: SLAMConfig,
+                       with_desc: bool):
+    """Everything a keyframe promotion derives from its depth frame —
+    pyramid, packed gather tables, downsampled cloud, (optional)
+    descriptor — in ONE dispatch (the boundary chunk driver promotes from
+    a device-resident depth at the chunk boundary; issuing these as four
+    separate jit calls costs ~1 ms of tunnel dispatch each)."""
+    pyr = preprocess(depth, K, cfg)
+    packed = pack_pyramid(pyr, cfg.icp)
+    cloud = voxel_downsample(pyr[0].as_cloud(), cfg.voxel.voxel_size,
+                             cfg.voxel.capacity, cfg.voxel.origin,
+                             cfg.voxel.extent)
+    desc = (depth_descriptor(pyr[-1].points, pyr[-1].mask)
+            if with_desc else None)
+    return pyr, packed, cloud, desc
+
+
 def prefetch_to_device(frames, lookahead: int = 2):
     """Re-yield a TumFrame stream with depth arrays device_put ahead.
 
@@ -372,23 +390,35 @@ class Odometry:
         )
 
     def _promote(self, pyr, timestamp: float) -> None:
-        self.kf_pyr = pyr
-        self.kf_packed = pack_pyramid_jit(pyr, self.cfg)
+        packed = pack_pyramid_jit(pyr, self.cfg)
         cloud = None
-        verify = None
         desc = None
         if self.keep_keyframe_clouds:
             cloud = self._kf_cloud(pyr)
+            if getattr(self.cfg.posegraph, "lc_descriptor", False):
+                # device handle; materialized lazily at proposal time
+                desc = depth_descriptor(pyr[-1].points, pyr[-1].mask)
+        self._promote_from_bundle(pyr, packed, cloud, desc, timestamp)
+
+    def _promote_from_bundle(self, pyr, packed, cloud, desc,
+                             timestamp: float) -> None:
+        """Promotion bookkeeping from pre-computed derived state (the
+        boundary chunk driver computes everything in one dispatch —
+        promote_bundle_jit; `_promote` is the multi-dispatch form)."""
+        self.kf_pyr = pyr
+        self.kf_packed = packed
+        verify = None
+        if self.keep_keyframe_clouds:
             # retain the tracking table at verify_level for the backend's
             # projective verification — already computed, memory only
             lvl = min(int(getattr(self.cfg.keyframe, "verify_level", 1)),
                       len(pyr) - 1)
             h, w, _ = pyr[lvl].points.shape
-            verify = VerifyTable(packed=self.kf_packed[lvl],
+            verify = VerifyTable(packed=packed[lvl],
                                  height=h, width=w, level=lvl)
-            if getattr(self.cfg.posegraph, "lc_descriptor", False):
-                # device handle; materialized lazily at proposal time
-                desc = depth_descriptor(pyr[-1].points, pyr[-1].mask)
+        else:
+            cloud = None
+            desc = None
         self.keyframes.append(
             KeyframeRecord(
                 index=self.frame_idx,
@@ -671,6 +701,96 @@ def scan_chunk_frozen(depths: jnp.ndarray, K: Intrinsics, state: FrozenState,
 def scan_chunk_frozen_jit(depths, K, state: FrozenState, kf_packed: tuple,
                           cfg: SLAMConfig):
     return scan_chunk_frozen(depths, K, state, kf_packed, cfg)
+
+
+class SuperChunkCarry(NamedTuple):
+    """Device-resident carry of `scan_superchunk_frozen` across calls."""
+
+    kf_packed: tuple            # packed tables of the CURRENT keyframe
+    T_kf_cam: jnp.ndarray       # (4, 4) pose vs that keyframe
+    last_delta: jnp.ndarray     # (4, 4) last inter-frame motion
+
+
+def scan_superchunk_frozen(depths: jnp.ndarray, K: Intrinsics,
+                           carry: SuperChunkCarry, cfg: SLAMConfig,
+                           sub: int):
+    """G sub-chunks of `sub` frames in ONE dispatch, promotion ON DEVICE
+    at sub-chunk boundaries — the host syncs once per G·sub frames.
+
+    The single fused readback is the dominant chunked-streaming cost
+    (measured round 5: ~44 ms of a ~74 ms 8-frame chunk — tunnel RTT plus
+    device drain); promoting on device between sub-chunks lets the host
+    sync at super-chunk granularity while the keyframe cadence stays at
+    `sub`.  Structure is `scan_odometry_boundary`'s two-level scan, but
+    every emitted quantity is RELATIVE to the emitting sub-chunk's entry
+    keyframe (no world pose on device): the host composes world poses in
+    f64, chaining `base ← base @ rel_p` at each promoted sub-chunk — so
+    the output stays pose-correction-independent and the deferred
+    backend's bit-determinism is preserved at any super-chunk size.
+
+    Returns (new_carry, ys) with ys of shape (G·sub, FlatFrozen.SIZE);
+    row semantics per FlatFrozen, REL_T relative to the sub-chunk-entry
+    keyframe, PROMOTE flags resolved by the host (first flag in a
+    sub-chunk promotes that frame).
+    """
+    n = depths.shape[0]
+    if n % sub:
+        raise ValueError(f"superchunk length {n} not divisible by {sub}")
+    chunks = depths.reshape(n // sub, sub, *depths.shape[1:])
+
+    def outer(c: SuperChunkCarry, depth_chunk):
+        def inner(st: FrozenState, depth):
+            pyr = preprocess(depth, K, cfg)
+            T0 = st.T_kf_cam @ damped_velocity(st.last_delta,
+                                               cfg.cv_damping)
+            out = track_step_packed(_vmem_resident(c.kf_packed), pyr, K,
+                                    T0, cfg)
+            new_st = FrozenState(
+                T_kf_cam=out.T_kf_cam,
+                last_delta=se3.relative(st.T_kf_cam, out.T_kf_cam),
+            )
+            flat = jnp.concatenate([
+                out.T_kf_cam.reshape(16).astype(jnp.float32),
+                jnp.stack([
+                    out.promote.astype(jnp.float32),
+                    out.lost.astype(jnp.float32),
+                    out.icp.iters.astype(jnp.float32),
+                    out.icp.rms.astype(jnp.float32),
+                    out.icp.inlier_fraction.astype(jnp.float32),
+                ]),
+            ])
+            return new_st, flat
+
+        st_end, rows = jax.lax.scan(
+            inner, FrozenState(T_kf_cam=c.T_kf_cam,
+                               last_delta=c.last_delta), depth_chunk)
+        promotes = rows[:, FlatFrozen.PROMOTE] > 0.5
+        any_p = jnp.any(promotes)
+        p = jnp.argmax(promotes)          # first flagged frame
+
+        def promote_branch():
+            depth_p = jax.lax.dynamic_index_in_dim(
+                depth_chunk, p, axis=0, keepdims=False)
+            return pack_pyramid(preprocess(depth_p, K, cfg), cfg.icp)
+
+        new_packed = jax.lax.cond(any_p, promote_branch,
+                                  lambda: c.kf_packed)
+        rel_p = rows[p, FlatFrozen.REL_T].reshape(4, 4)
+        new_T_kf_cam = jnp.where(any_p,
+                                 se3.relative(rel_p, st_end.T_kf_cam),
+                                 st_end.T_kf_cam)
+        return SuperChunkCarry(kf_packed=new_packed,
+                               T_kf_cam=new_T_kf_cam,
+                               last_delta=st_end.last_delta), rows
+
+    new_carry, ys = jax.lax.scan(outer, carry, chunks)
+    return new_carry, ys.reshape(n, FlatFrozen.SIZE)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sub"))
+def scan_superchunk_frozen_jit(depths, K, carry: SuperChunkCarry,
+                               cfg: SLAMConfig, sub: int):
+    return scan_superchunk_frozen(depths, K, carry, cfg, sub)
 
 
 @jax.jit

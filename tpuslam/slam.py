@@ -614,23 +614,30 @@ class SlamSystem:
 
         from tpuslam.frontend import (
             FlatFrozen,
-            FrozenState,
+            SuperChunkCarry,
             fuse_readbacks_jit,
             pack_pyramid_jit,
-            preprocess_jit,
-            scan_chunk_frozen_jit,
+            promote_bundle_jit,
+            scan_superchunk_frozen_jit,
         )
 
         odo = self.odo
         n = depths.shape[0]
         if odo.kf_packed is None:        # resumed from a checkpoint
             odo.kf_packed = pack_pyramid_jit(odo.kf_pyr, self.cfg)
-        state = FrozenState(
+        # keyframe cadence stays at `sub` regardless of how many frames
+        # the caller hands over in one call (the SUPER-chunk): each
+        # additional sub-chunk amortizes the ~44 ms fused-readback sync
+        # (measured round 5) over `sub` more frames, with promotion
+        # running ON DEVICE at sub-chunk boundaries
+        sub = 8 if n >= 8 and n % 8 == 0 else n
+        carry = SuperChunkCarry(
+            kf_packed=odo.kf_packed,
             T_kf_cam=jnp.asarray(odo.T_kf_cam),
             last_delta=jnp.asarray(odo.last_delta),
         )
-        new_state, ys = scan_chunk_frozen_jit(depths, odo.K, state,
-                                              odo.kf_packed, self.cfg)
+        new_carry, ys = scan_superchunk_frozen_jit(depths, odo.K, carry,
+                                                   self.cfg, sub)
         pending, self._pending_attempt = self._pending_attempt, None
         if pending is not None:
             # one host sync covers BOTH the deferred attempt and this scan
@@ -649,46 +656,56 @@ class SlamSystem:
                 for i in range(n)
             ])
         out = []
+        with_desc = bool(getattr(self.cfg.posegraph,
+                                 "lc_descriptor", False))
         with self._lock:
-            T_world_kf = odo.T_world_kf.astype(np.float64)
-            rels = [s[i][FlatFrozen.REL_T].reshape(4, 4).astype(np.float64)
-                    for i in range(n)]
-            flags = s[:, FlatFrozen.PROMOTE] > 0.5
-            p = int(np.argmax(flags)) if flags.any() else -1
-            kf_id = len(odo.keyframes) - 1
-            base = len(odo.frame_refs)
-            for i in range(n):
-                T_world_cam = T_world_kf @ rels[i]
-                odo.frame_refs.append((kf_id, rels[i]))
-                odo.stats.append({
-                    "iters": int(s[i][FlatFrozen.ITERS]),
-                    "rms": float(s[i][FlatFrozen.RMS]),
-                    "inliers": float(s[i][FlatFrozen.INLIER_FRACTION]),
-                    "promoted": i == p,
-                    "lost": False,
-                })
-                odo.trajectory.append(T_world_cam)
-                odo.timestamps.append(float(timestamps[i]))
-                odo.frame_idx += 1
-                out.append(T_world_cam)
-            if p >= 0:
-                # boundary promotion: frame p becomes the new keyframe;
-                # its pyramid is re-preprocessed from the (device-resident)
-                # chunk — async dispatches, no sync
-                odo.T_world_kf = (T_world_kf @ rels[p]).astype(np.float32)
-                pyr = preprocess_jit(depths[p], odo.K, self.cfg)
-                odo._promote(pyr, float(timestamps[p]))
-                odo.keyframes[-1] = odo.keyframes[-1]._replace(
-                    index=odo.frame_idx - n + p)
-                new_id = len(odo.keyframes) - 1
-                inv_rel_p = np.linalg.inv(rels[p])
-                for i in range(p, n):
-                    odo.frame_refs[base + i] = (new_id, inv_rel_p @ rels[i])
-                odo.T_kf_cam = jnp.asarray(
-                    (inv_rel_p @ rels[n - 1]).astype(np.float32))
-            else:
-                odo.T_kf_cam = new_state.T_kf_cam
-            odo.last_delta = new_state.last_delta
+            base_T = odo.T_world_kf.astype(np.float64)
+            for g in range(n // sub):
+                g0 = g * sub
+                rels = [s[g0 + i][FlatFrozen.REL_T].reshape(4, 4)
+                        .astype(np.float64) for i in range(sub)]
+                flags = s[g0:g0 + sub, FlatFrozen.PROMOTE] > 0.5
+                p = int(np.argmax(flags)) if flags.any() else -1
+                kf_id = len(odo.keyframes) - 1
+                ref_base = len(odo.frame_refs)
+                for i in range(sub):
+                    row = s[g0 + i]
+                    T_world_cam = base_T @ rels[i]
+                    odo.frame_refs.append((kf_id, rels[i]))
+                    odo.stats.append({
+                        "iters": int(row[FlatFrozen.ITERS]),
+                        "rms": float(row[FlatFrozen.RMS]),
+                        "inliers": float(row[FlatFrozen.INLIER_FRACTION]),
+                        "promoted": i == p,
+                        "lost": False,
+                    })
+                    odo.trajectory.append(T_world_cam)
+                    odo.timestamps.append(float(timestamps[g0 + i]))
+                    odo.frame_idx += 1
+                    out.append(T_world_cam)
+                if p >= 0:
+                    # boundary promotion: frame p of this sub-chunk is the
+                    # new keyframe (mirroring the device-side cond);
+                    # pyramid + tables + cloud + descriptor derive from
+                    # the device-resident depth in ONE async dispatch
+                    odo.T_world_kf = (base_T @ rels[p]).astype(np.float32)
+                    pyr, packed, cloud, desc = promote_bundle_jit(
+                        depths[g0 + p], odo.K, self.cfg, with_desc)
+                    odo._promote_from_bundle(pyr, packed, cloud, desc,
+                                             float(timestamps[g0 + p]))
+                    odo.keyframes[-1] = odo.keyframes[-1]._replace(
+                        index=odo.frame_idx - sub + p)
+                    new_id = len(odo.keyframes) - 1
+                    inv_rel_p = np.linalg.inv(rels[p])
+                    for i in range(p, sub):
+                        odo.frame_refs[ref_base + i] = (
+                            new_id, inv_rel_p @ rels[i])
+                    base_T = base_T @ rels[p]
+            # the carry's tables/poses ARE the device-side truth — the last
+            # host promote_bundle packed the same frame the device packed
+            odo.kf_packed = new_carry.kf_packed
+            odo.T_kf_cam = new_carry.T_kf_cam
+            odo.last_delta = new_carry.last_delta
             odo.last_pyr = None      # per-frame pyramids are not retained
             self._lost_streak = 0
             self._reloc_backoff = self.reloc_after
@@ -749,6 +766,20 @@ class SlamSystem:
 
         odo = self.odo
         if self.track_against_map or odo.kf_pyr is None:
+            if (self.chunk_mode == "boundary" and odo.kf_pyr is None
+                    and not self.track_against_map
+                    and n > 8 and n % 8 == 0):
+                # bootstrap exactly ONE sub-chunk per-frame (seeding the
+                # keyframe), then scan the tail — a super-chunk's first
+                # call must not per-frame the whole thing, or its keyframe
+                # decisions diverge from the chunk=8 sequence
+                head = np.stack([
+                    self.process(depths[i], float(timestamps[i]))
+                    for i in range(8)
+                ])
+                tail = self._process_chunk_boundary(depths[8:],
+                                                    timestamps[8:])
+                return np.concatenate([head, tail])
             # map refinement is per-frame by design; an unseeded keyframe
             # means this is the first chunk — step it per-frame once rather
             # than compile an odd-length scan for the remainder

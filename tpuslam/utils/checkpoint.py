@@ -33,6 +33,10 @@ def _is_slam(system) -> bool:
 
 def save_checkpoint(path: str, system, frame_idx: int) -> None:
     """Snapshot an `Odometry` or `SlamSystem` to an npz (atomic rename)."""
+    if hasattr(system, "_drain_pending"):
+        # a deferred loop-closure attempt in flight holds pose corrections
+        # the snapshot must include (SlamSystem boundary chunk mode)
+        system._drain_pending()
     odo: Odometry = system.odo if _is_slam(system) else system
     data: dict = {
         "version": _FORMAT_VERSION,
