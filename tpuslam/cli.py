@@ -78,6 +78,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "geometry math stays float32).  Prefer "
                         "--upload-raw for uint16 sources — same transfer "
                         "size, no quantization")
+    p.add_argument("--chunk-sub", type=int, default=8,
+                   help="boundary-mode sub-chunk size: the keyframe-"
+                        "promotion cadence floor (a promotion applies at "
+                        "most once per this many frames).  Lower it for "
+                        "tight promotion thresholds / fast motion; 1 "
+                        "reproduces per-frame promotion cadence exactly "
+                        "while keeping one readback per --chunk frames")
     p.add_argument("--chunk-mode", default="boundary",
                    choices=("boundary", "inline"),
                    help="chunked-streaming promotion semantics (with "
@@ -148,7 +155,8 @@ def _run_pipeline(args, use_slam: bool) -> int:
                    map_track_mode=getattr(args, "map_track_mode", "projective"),
                    async_backend=getattr(args, "async_backend", False),
                    sharded_map=getattr(args, "sharded_map", False),
-                   chunk_mode=getattr(args, "chunk_mode", "boundary"))
+                   chunk_mode=getattr(args, "chunk_mode", "boundary"),
+                   chunk_sub=getattr(args, "chunk_sub", 8))
         if use_slam
         else Odometry(K, cfg, keep_keyframe_clouds=False)
     )

@@ -661,7 +661,7 @@ def scan_chunk_frozen(depths: jnp.ndarray, K: Intrinsics, state: FrozenState,
     floor accounting).  Here the tables are a read-only input: the carry is
     two 4×4 poses, promotion is decided per frame as a FLAG but takes
     effect at the chunk boundary on the host (SlamSystem.process_chunk in
-    boundary mode promotes the first flagged frame and re-seeds the carry).
+    boundary mode promotes the sub-chunk's last frame and re-seeds the carry).
     Within a chunk, frames after the threshold crossing keep tracking
     against the old keyframe — up to C−1 frames farther than the inline
     path, still well inside `max_corr_dist` at default thresholds; a chunk
@@ -730,8 +730,9 @@ def scan_superchunk_frozen(depths: jnp.ndarray, K: Intrinsics,
 
     Returns (new_carry, ys) with ys of shape (G·sub, FlatFrozen.SIZE);
     row semantics per FlatFrozen, REL_T relative to the sub-chunk-entry
-    keyframe, PROMOTE flags resolved by the host (first flag in a
-    sub-chunk promotes that frame).
+    keyframe, PROMOTE flags resolved by the host (any flag in a sub-chunk
+    promotes that sub-chunk's LAST frame — see the promote-last note in
+    the body).
     """
     n = depths.shape[0]
     if n % sub:
@@ -764,20 +765,26 @@ def scan_superchunk_frozen(depths: jnp.ndarray, K: Intrinsics,
         st_end, rows = jax.lax.scan(
             inner, FrozenState(T_kf_cam=c.T_kf_cam,
                                last_delta=c.last_delta), depth_chunk)
-        promotes = rows[:, FlatFrozen.PROMOTE] > 0.5
-        any_p = jnp.any(promotes)
-        p = jnp.argmax(promotes)          # first flagged frame
+        any_p = jnp.any(rows[:, FlatFrozen.PROMOTE] > 0.5)
 
+        # Promote the LAST frame of the sub-chunk (not the first flagged):
+        # the carry reset is then EXACT — T_kf_cam becomes the identity
+        # with no relative-pose computation.  Re-anchoring on a mid-chunk
+        # frame (`relative(rel_p, rel_end)`) leaves ~1e-7 of f32 inversion
+        # noise in the warm start, and the nearest-pixel association's
+        # sub-pixel deadband AMPLIFIES a per-promotion injection ~2× per
+        # frame (measured: 2.4e-7 → 3.3e-3 over 14 frames at per-frame
+        # promotion cadence — the same feedback mechanism as the
+        # cv_damping divergence; at tight config-5 thresholds it wrecked
+        # the trajectory, 0.75 mm → 0.33 m ATE).  Promote-last is also
+        # the FRESHEST anchor for the next sub-chunk.
         def promote_branch():
-            depth_p = jax.lax.dynamic_index_in_dim(
-                depth_chunk, p, axis=0, keepdims=False)
-            return pack_pyramid(preprocess(depth_p, K, cfg), cfg.icp)
+            return pack_pyramid(preprocess(depth_chunk[-1], K, cfg),
+                                cfg.icp)
 
         new_packed = jax.lax.cond(any_p, promote_branch,
                                   lambda: c.kf_packed)
-        rel_p = rows[p, FlatFrozen.REL_T].reshape(4, 4)
-        new_T_kf_cam = jnp.where(any_p,
-                                 se3.relative(rel_p, st_end.T_kf_cam),
+        new_T_kf_cam = jnp.where(any_p, jnp.eye(4, dtype=rows.dtype),
                                  st_end.T_kf_cam)
         return SuperChunkCarry(kf_packed=new_packed,
                                T_kf_cam=new_T_kf_cam,
@@ -865,9 +872,10 @@ def scan_odometry_boundary(depths: jnp.ndarray, K: Intrinsics,
     keyframe (carry = two 4×4 poses — no table select, no per-frame carry
     copies); the outer scan holds the packed keyframe tables and promotes
     at most once per chunk boundary: if any frame flagged promotion, the
-    FIRST flagged frame becomes the keyframe (matching the inline path's
-    keyframe placement), re-preprocessed+packed inside the `lax.cond` so
-    the ~0.8 ms cost is paid only on promoting chunks.  The inline scan's
+    chunk's LAST frame becomes the keyframe (exact-identity carry reset
+    — see scan_superchunk_frozen's deadband-amplifier note),
+    re-preprocessed+packed inside the `lax.cond` so the ~0.8 ms cost is
+    paid only on promoting chunks.  The inline scan's
     per-frame `lax.cond` table select cost ~0.25 ms/frame on every
     unpromoted frame (BASELINE.md round-4 floor accounting); here the same
     select costs once per `chunk` frames.
@@ -909,21 +917,20 @@ def scan_odometry_boundary(depths: jnp.ndarray, K: Intrinsics,
             depth_chunk)
         world = jnp.einsum("ij,fjk->fik", T_world_kf, rels)
         any_promote = jnp.any(promotes)
-        p = jnp.argmax(promotes)              # first flagged frame
 
+        # Promote the LAST frame of the chunk: the carry reset is EXACT
+        # (identity, no relative-pose computation) — re-anchoring on a
+        # mid-chunk frame injects ~1e-7 of f32 inversion noise per
+        # promotion which the nearest-pixel deadband amplifies ~2×/frame
+        # (see scan_superchunk_frozen).
         def promote_branch():
-            depth_p = jax.lax.dynamic_index_in_dim(
-                depth_chunk, p, axis=0, keepdims=False)
-            return pack_pyramid(preprocess(depth_p, K, cfg), cfg.icp)
+            return pack_pyramid(preprocess(depth_chunk[-1], K, cfg),
+                                cfg.icp)
 
         new_packed = jax.lax.cond(any_promote, promote_branch,
                                   lambda: kf_packed)
-        rel_p = rels[p]
-        new_T_world_kf = jnp.where(any_promote, world[p], T_world_kf)
-        # next chunk's pose vs its (possibly new) keyframe: re-anchor the
-        # chunk-final pose on frame p when promoted
-        new_T_kf_cam = jnp.where(any_promote,
-                                 se3.relative(rel_p, st_end.T_kf_cam),
+        new_T_world_kf = jnp.where(any_promote, world[-1], T_world_kf)
+        new_T_kf_cam = jnp.where(any_promote, jnp.eye(4, dtype=rels.dtype),
                                  st_end.T_kf_cam)
         new_carry = (new_packed, new_T_world_kf, new_T_kf_cam,
                      st_end.last_delta)

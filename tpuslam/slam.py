@@ -81,7 +81,8 @@ class SlamSystem:
                  sharded_map: bool = False,
                  enable_relocalization: bool = True,
                  reloc_after: int = 2,
-                 chunk_mode: str = "inline"):
+                 chunk_mode: str = "inline",
+                 chunk_sub: int = 8):
         self.cfg = cfg
         self.odo = Odometry(K, cfg, keep_keyframe_clouds=True)
         self.graph = GraphHost(cfg.posegraph)
@@ -143,7 +144,7 @@ class SlamSystem:
         # through a per-frame lax.cond select (exact per-frame parity, but
         # ~0.25 ms/frame of carry copies — BASELINE.md round-4 floor);
         # "boundary" tracks each chunk against a frozen keyframe and
-        # promotes the first flagged frame at the chunk boundary — no
+        # promotes the sub-chunk's last frame at the boundary — no
         # table in the carry, and the scan output becomes pose-correction-
         # independent, which is what makes the deferred backend (below)
         # bit-deterministic.
@@ -151,6 +152,16 @@ class SlamSystem:
             raise ValueError(f"chunk_mode must be 'inline' or 'boundary', "
                              f"got {chunk_mode!r}")
         self.chunk_mode = chunk_mode
+        # Sub-chunk size = the keyframe-promotion cadence FLOOR of boundary
+        # mode (a promotion takes effect at most once per `chunk_sub`
+        # frames).  8 suits default thresholds; tight-promotion configs
+        # (e.g. the config-5 scale settings, which promote every ~5
+        # frames) must lower it — chunk_sub=1 reproduces the per-frame
+        # promotion cadence exactly while keeping the one-sync-per-call
+        # readback and the deferred backend.
+        if chunk_sub < 1:
+            raise ValueError("chunk_sub must be ≥ 1")
+        self.chunk_sub = int(chunk_sub)
         # Deferred backend (boundary chunk mode + async_backend): the fused
         # verify+optimize attempt is DISPATCHED at the chunk boundary but
         # its readback rides the NEXT chunk's scan readback (one fused
@@ -598,11 +609,11 @@ class SlamSystem:
         """Boundary-promotion chunk processing (frontend.scan_chunk_frozen).
 
         The chunk tracks against a FROZEN keyframe (no tables in the scan
-        carry — VERDICT r4 #1), promotion takes effect here at the
-        boundary: the first promote-flagged frame becomes the keyframe
-        (matching the inline path's keyframe placement), frames from it on
-        re-anchor onto it, and the next chunk's carry re-seeds from the
-        re-anchored chunk-final pose.  World poses are composed on the
+        carry — VERDICT r4 #1), promotion takes effect at sub-chunk
+        boundaries: when any frame flags promotion, the sub-chunk's LAST
+        frame becomes the keyframe (exact-identity carry reset — see
+        scan_superchunk_frozen's deadband-amplifier note) and the next
+        sub-chunk re-seeds from it.  World poses are composed on the
         HOST in f64 from the readback's relative poses — the scan output
         is pose-correction-independent, so the deferred backend
         (async_backend=True) can apply the PREVIOUS boundary's closure
@@ -630,7 +641,8 @@ class SlamSystem:
         # additional sub-chunk amortizes the ~44 ms fused-readback sync
         # (measured round 5) over `sub` more frames, with promotion
         # running ON DEVICE at sub-chunk boundaries
-        sub = 8 if n >= 8 and n % 8 == 0 else n
+        sub = (self.chunk_sub
+               if n >= self.chunk_sub and n % self.chunk_sub == 0 else n)
         carry = SuperChunkCarry(
             kf_packed=odo.kf_packed,
             T_kf_cam=jnp.asarray(odo.T_kf_cam),
@@ -665,7 +677,11 @@ class SlamSystem:
                 rels = [s[g0 + i][FlatFrozen.REL_T].reshape(4, 4)
                         .astype(np.float64) for i in range(sub)]
                 flags = s[g0:g0 + sub, FlatFrozen.PROMOTE] > 0.5
-                p = int(np.argmax(flags)) if flags.any() else -1
+                # promote-LAST, mirroring the device-side boundary cond
+                # (see scan_superchunk_frozen: an exact identity carry
+                # reset — mid-chunk re-anchoring feeds the deadband
+                # amplifier)
+                p = sub - 1 if flags.any() else -1
                 kf_id = len(odo.keyframes) - 1
                 ref_base = len(odo.frame_refs)
                 for i in range(sub):
@@ -684,10 +700,10 @@ class SlamSystem:
                     odo.frame_idx += 1
                     out.append(T_world_cam)
                 if p >= 0:
-                    # boundary promotion: frame p of this sub-chunk is the
-                    # new keyframe (mirroring the device-side cond);
-                    # pyramid + tables + cloud + descriptor derive from
-                    # the device-resident depth in ONE async dispatch
+                    # boundary promotion: the sub-chunk's LAST frame is the
+                    # new keyframe; pyramid + tables + cloud + descriptor
+                    # derive from the device-resident depth in ONE async
+                    # dispatch
                     odo.T_world_kf = (base_T @ rels[p]).astype(np.float32)
                     pyr, packed, cloud, desc = promote_bundle_jit(
                         depths[g0 + p], odo.K, self.cfg, with_desc)
@@ -696,10 +712,7 @@ class SlamSystem:
                     odo.keyframes[-1] = odo.keyframes[-1]._replace(
                         index=odo.frame_idx - sub + p)
                     new_id = len(odo.keyframes) - 1
-                    inv_rel_p = np.linalg.inv(rels[p])
-                    for i in range(p, sub):
-                        odo.frame_refs[ref_base + i] = (
-                            new_id, inv_rel_p @ rels[i])
+                    odo.frame_refs[ref_base + p] = (new_id, np.eye(4))
                     base_T = base_T @ rels[p]
             # the carry's tables/poses ARE the device-side truth — the last
             # host promote_bundle packed the same frame the device packed
@@ -766,19 +779,20 @@ class SlamSystem:
 
         odo = self.odo
         if self.track_against_map or odo.kf_pyr is None:
+            sub = self.chunk_sub
             if (self.chunk_mode == "boundary" and odo.kf_pyr is None
                     and not self.track_against_map
-                    and n > 8 and n % 8 == 0):
+                    and n > sub and n % sub == 0):
                 # bootstrap exactly ONE sub-chunk per-frame (seeding the
                 # keyframe), then scan the tail — a super-chunk's first
                 # call must not per-frame the whole thing, or its keyframe
-                # decisions diverge from the chunk=8 sequence
+                # decisions diverge across chunk sizes
                 head = np.stack([
                     self.process(depths[i], float(timestamps[i]))
-                    for i in range(8)
+                    for i in range(sub)
                 ])
-                tail = self._process_chunk_boundary(depths[8:],
-                                                    timestamps[8:])
+                tail = self._process_chunk_boundary(depths[sub:],
+                                                    timestamps[sub:])
                 return np.concatenate([head, tail])
             # map refinement is per-frame by design; an unseeded keyframe
             # means this is the first chunk — step it per-frame once rather
