@@ -65,11 +65,11 @@ def profile_coldstart(frames: int = 32, height: int = 480,
             os.path.getsize(os.path.join(cache_dir, e)) for e in entries)
 
     from tpuslam.frontend import (
-        FrozenState,
+        SuperChunkCarry,
         pack_pyramid_jit,
         preprocess_jit,
         process_frame_jit,
-        scan_chunk_frozen_jit,
+        scan_superchunk_frozen_jit,
         scan_odometry_jit,
     )
 
@@ -78,14 +78,15 @@ def profile_coldstart(frames: int = 32, height: int = 480,
     kf_packed = pack_pyramid_jit(pyr0, cfg)
     jax.block_until_ready(kf_packed)
     eye = jnp.eye(4)
-    st = FrozenState(T_kf_cam=eye, last_delta=eye)
+    carry = SuperChunkCarry(kf_packed=kf_packed, T_kf_cam=eye,
+                            last_delta=eye)
 
     programs = {
         "preprocess": (preprocess_jit, (depths[0], K, cfg)),
         "process_frame": (process_frame_jit,
                           (depths[0], kf_packed, K, eye, eye, cfg)),
-        "scan_chunk_frozen_c8": (scan_chunk_frozen_jit,
-                                 (depths[:8], K, st, kf_packed, cfg)),
+        "scan_superchunk_c8": (scan_superchunk_frozen_jit,
+                               (depths[:8], K, carry, cfg, 8)),
         f"scan_odometry_f{frames}": (scan_odometry_jit, (depths, K, cfg)),
     }
     out["programs"] = {}
@@ -98,7 +99,10 @@ def profile_coldstart(frames: int = 32, height: int = 480,
         compiled = lowered.compile()
         rec["compile_or_load_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        r = compiled(*(a for a in args if not isinstance(a, SLAMConfig)))
+        # static args (the config, the superchunk's `sub` int) are baked
+        # into the compiled executable — only pass the traced operands
+        r = compiled(*(a for a in args
+                       if not isinstance(a, (SLAMConfig, int))))
         jax.block_until_ready(r)
         rec["first_run_s"] = time.perf_counter() - t0
         out["programs"][name] = {k: round(v, 3) for k, v in rec.items()}

@@ -650,59 +650,6 @@ class FlatFrozen:
     SIZE = 21
 
 
-def scan_chunk_frozen(depths: jnp.ndarray, K: Intrinsics, state: FrozenState,
-                      kf_packed: tuple, cfg: SLAMConfig):
-    """Track a chunk against a FROZEN keyframe — the boundary-promotion scan
-    (VERDICT r4 #1).
-
-    `scan_chunk` carries the packed keyframe tables through a
-    `lax.cond(promote)` select, paying ~0.25 ms/frame of carry copies on
-    every UNPROMOTED frame (24% of device frame time — BASELINE.md round-4
-    floor accounting).  Here the tables are a read-only input: the carry is
-    two 4×4 poses, promotion is decided per frame as a FLAG but takes
-    effect at the chunk boundary on the host (SlamSystem.process_chunk in
-    boundary mode promotes the sub-chunk's last frame and re-seeds the carry).
-    Within a chunk, frames after the threshold crossing keep tracking
-    against the old keyframe — up to C−1 frames farther than the inline
-    path, still well inside `max_corr_dist` at default thresholds; a chunk
-    that degrades to tracking LOSS replays per-frame exactly as before.
-
-    The readback rows deliberately contain no world pose: tracking is
-    purely relative to the frozen keyframe, so the host can apply backend
-    pose corrections from a PREVIOUS chunk's (deferred) loop-closure
-    attempt before anchoring this chunk's poses — enabling the
-    deterministic overlapped backend without re-running anything.
-    """
-
-    def step(st: FrozenState, depth):
-        pyr = preprocess(depth, K, cfg)
-        T0 = st.T_kf_cam @ damped_velocity(st.last_delta, cfg.cv_damping)
-        out = track_step_packed(_vmem_resident(kf_packed), pyr, K, T0, cfg)
-        new_state = FrozenState(
-            T_kf_cam=out.T_kf_cam,
-            last_delta=se3.relative(st.T_kf_cam, out.T_kf_cam),
-        )
-        flat = jnp.concatenate([
-            out.T_kf_cam.reshape(16).astype(jnp.float32),
-            jnp.stack([
-                out.promote.astype(jnp.float32),
-                out.lost.astype(jnp.float32),
-                out.icp.iters.astype(jnp.float32),
-                out.icp.rms.astype(jnp.float32),
-                out.icp.inlier_fraction.astype(jnp.float32),
-            ]),
-        ])
-        return new_state, flat
-
-    return jax.lax.scan(step, state, depths)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def scan_chunk_frozen_jit(depths, K, state: FrozenState, kf_packed: tuple,
-                          cfg: SLAMConfig):
-    return scan_chunk_frozen(depths, K, state, kf_packed, cfg)
-
-
 class SuperChunkCarry(NamedTuple):
     """Device-resident carry of `scan_superchunk_frozen` across calls."""
 

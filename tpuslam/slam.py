@@ -140,7 +140,7 @@ class SlamSystem:
         self.relocalizations: list = []
         self.map_refine_stats: list[dict] = []
         # Chunked-streaming promotion semantics (frontend.scan_chunk vs
-        # scan_chunk_frozen): "inline" carries the packed keyframe tables
+        # scan_superchunk_frozen): "inline" carries the packed keyframe tables
         # through a per-frame lax.cond select (exact per-frame parity, but
         # ~0.25 ms/frame of carry copies — BASELINE.md round-4 floor);
         # "boundary" tracks each chunk against a frozen keyframe and
@@ -606,7 +606,7 @@ class SlamSystem:
         return True
 
     def _process_chunk_boundary(self, depths, timestamps) -> np.ndarray:
-        """Boundary-promotion chunk processing (frontend.scan_chunk_frozen).
+        """Boundary-promotion chunk processing (frontend.scan_superchunk_frozen).
 
         The chunk tracks against a FROZEN keyframe (no tables in the scan
         carry — VERDICT r4 #1), promotion takes effect at sub-chunk
