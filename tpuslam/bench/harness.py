@@ -226,8 +226,14 @@ def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
 
 
 def bench_scale(frames: int = 2000, height: int = 240, width: int = 320,
-                chunk: int = 8, chunk_mode: str = "boundary",
+                chunk: int = 32, chunk_mode: str = "boundary",
                 async_backend: bool = True, chunk_sub: int = 1) -> dict:
+    # Default chunk=32: the measured round-5 frontier at this config
+    # (budget-4 attempts, warm cache) — chunk 8: 25.0 fps / 510 closures /
+    # 2.69 mm; 16: 33.5 / 284 / 2.40; 32: 56.6 / 172 / 2.64.  Outcomes are
+    # bit-identical across runs at any point; closure count tracks attempt
+    # frequency while ATE stays flat (closures beyond coverage are
+    # redundant), so the default takes the throughput end.
     """BASELINE config-5 SCALE on the real device (VERDICT r3 item 3).
 
     The 2,000-frame capacity proof (tests/test_config5_scale.py) has only
