@@ -187,10 +187,14 @@ def bench_slam(frames: int = 120, height: int = 480, width: int = 640,
     one_pass_chunked(chunk, True, "boundary")
     wall_sync, slam, reps_sync = best_of(lambda: one_pass(False))
     wall_async, _, reps_async = best_of(lambda: one_pass(True))
+    # 5 reps for the headline chunked variants: they are fast (~1.5 s/rep)
+    # and the tunnel's congestion swings were measured at ±50% between
+    # back-to-back reps (57.8–120.7 fps for identical deferred code) —
+    # 3 reps under-samples the clean-tunnel value
     wall_chunked, slam_c, reps_c = best_of(
-        lambda: one_pass_chunked(chunk, False, "boundary"))
+        lambda: one_pass_chunked(chunk, False, "boundary"), reps=5)
     wall_chunked_a, slam_ca, reps_ca = best_of(
-        lambda: one_pass_chunked(chunk, True, "boundary"))
+        lambda: one_pass_chunked(chunk, True, "boundary"), reps=5)
     wall_inline, slam_ci, reps_ci = best_of(
         lambda: one_pass_chunked(chunk, False, "inline"))
 
