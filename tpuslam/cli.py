@@ -78,6 +78,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "geometry math stays float32).  Prefer "
                         "--upload-raw for uint16 sources — same transfer "
                         "size, no quantization")
+    p.add_argument("--lc-descriptor", action="store_true",
+                   help="enable pose-free loop-closure candidates from "
+                        "per-keyframe depth descriptors (drift-robust "
+                        "proposal: closes revisits whose accumulated "
+                        "drift exceeds lc_max_dist; identity-init "
+                        "verification through the same gates)")
     p.add_argument("--chunk-sub", type=int, default=8,
                    help="boundary-mode sub-chunk size: the keyframe-"
                         "promotion cadence floor (a promotion applies at "
@@ -133,6 +139,11 @@ def _run_pipeline(args, use_slam: bool) -> int:
 
     _init_distributed(args)
     cfg = _load_config(args.config)
+    if getattr(args, "lc_descriptor", False):
+        import dataclasses
+
+        cfg = cfg.replace(posegraph=dataclasses.replace(
+            cfg.posegraph, lc_descriptor=True))
     seq = TumSequence(args.sequence)
     if getattr(args, "intrinsics", None):
         from tpuslam.config import Intrinsics
