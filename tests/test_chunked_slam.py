@@ -294,6 +294,31 @@ def test_boundary_remainder_and_mode_mixing(two_lap_sequence):
     assert m["rmse"] < 0.02, m
 
 
+def test_boundary_raw_uint16_bit_equals_f32(two_lap_sequence):
+    """--upload-raw through the chunked path: uint16 depth counts divided
+    on device must produce the BIT-identical trajectory to f32 metres
+    (same guarantee the scan-odometry test makes, here through
+    process_chunk's superchunk scan + promotion bundles)."""
+    gt, depths = two_lap_sequence
+    scale = 5000.0
+    raw = np.round(np.asarray(depths, np.float64) * scale).astype(np.uint16)
+    host_divided = raw.astype(np.float32) / scale
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, depth_scale=scale)
+
+    def run(d):
+        slam = SlamSystem(K, cfg, enable_loop_closure=True,
+                          chunk_mode="boundary")
+        ts = np.arange(len(d)) / 30.0
+        for i in range(0, len(d), 8):
+            slam.process_chunk(d[i:i + 8], ts[i:i + 8])
+        slam.finalize()
+        return slam.trajectory()[1]
+
+    np.testing.assert_array_equal(run(host_divided), run(raw))
+
+
 def test_chunked_lost_replays_per_frame(two_lap_sequence):
     """A chunk containing an untrackable frame commits nothing and replays
     per-frame, so loss accounting and relocalization engage."""

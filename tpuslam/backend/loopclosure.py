@@ -24,7 +24,6 @@ from tpuslam.backend.verify import (
     uniform_verify_table,
 )
 from tpuslam.config import ICPConfig, Intrinsics, PoseGraphConfig
-from tpuslam.geom import se3
 from tpuslam.geom.cloud import PointCloud
 from tpuslam.icp import FlatICP, align_cloud_to_organized, align_clouds
 
