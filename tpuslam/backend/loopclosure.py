@@ -290,6 +290,13 @@ def propose_and_verify(
     if not live:
         return live, None, attempted
     padded = _pad_batch(live, cap)
+    # NB: subsampling the candidate clouds here (points[::k] per padded
+    # candidate) was measured round 5 and LOSES 2× over the remote
+    # tunnel: the ~24 extra per-candidate slice dispatches cost more than
+    # the verify gather they save (111.5 → 53.7 fps on the chunked VGA
+    # loop at identical closures/ATE) — the attempt's cost is dispatch-
+    # and sync-bound, not verify-compute-bound.  Don't re-add without
+    # pre-subsampling ONCE at promotion.
     clouds_j = PointCloud(
         points=jnp.stack([keyframes[j].cloud.points for _, j, _ in padded]),
         normals=jnp.stack([keyframes[j].cloud.normals for _, j, _ in padded]),
