@@ -168,17 +168,21 @@ def test_fused_attempt_race_falls_back_to_fresh_solve(monkeypatch):
     assert slam.graph.num_nodes >= 6
     slam.enable_loop_closure = True
 
+    import tpuslam.backend.loopclosure as lc_mod
+
     orig_optimize = pg_mod.optimize
+    orig_fused = lc_mod.fused_attempt_jit
     intruder_pose = np.eye(4, dtype=np.float32)
     intruder_pose[0, 3] = 7.0
     state = {"raced": False, "fallback_calls": 0}
 
-    def racing_optimize(graph, cfg_, **kw):
+    def racing_fused(*a, **kw):
+        # simulate a concurrent promotion while the fused verify+solve is
+        # in flight: the graph grows AFTER the snapshot was taken (with
+        # its keyframe record, exactly as _sync_graph_with_keyframes
+        # would).  The fused attempt is one dispatch, so the injection
+        # point is the dispatch itself — after the live_nodes snapshot.
         if not state["raced"]:
-            # simulate a concurrent promotion while the fused solve is in
-            # flight: the graph grows AFTER the snapshot was taken (with
-            # its keyframe record, exactly as _sync_graph_with_keyframes
-            # would)
             state["raced"] = True
             from tpuslam.frontend import KeyframeRecord
 
@@ -187,14 +191,16 @@ def test_fused_attempt_race_falls_back_to_fresh_solve(monkeypatch):
                 index=999, timestamp=99.0, T_world_kf=intruder_pose,
                 cloud=None, verify=None))
             slam._num_graph_nodes += 1
-        else:
-            state["fallback_calls"] += 1
+        return orig_fused(*a, **kw)
+
+    def counting_optimize(graph, cfg_, **kw):
+        state["fallback_calls"] += 1
         return orig_optimize(graph, cfg_, **kw)
 
     import tpuslam.slam as slam_mod
 
-    monkeypatch.setattr(pg_mod, "optimize", racing_optimize)
-    monkeypatch.setattr(slam_mod, "optimize", racing_optimize)
+    monkeypatch.setattr(lc_mod, "fused_attempt_jit", racing_fused)
+    monkeypatch.setattr(slam_mod, "optimize", counting_optimize)
     found = slam._attempt_loop_closure()
     if found:
         # the guard must have re-solved on the grown graph...

@@ -238,7 +238,7 @@ def _pad_batch(live: list, max_candidates: int) -> list:
     return live + [live[0]] * (b - len(live))
 
 
-def propose_and_verify(
+def propose_attempt(
     keyframes,
     kf_poses: Sequence[np.ndarray],
     icp_cfg: ICPConfig,
@@ -247,17 +247,13 @@ def propose_and_verify(
     max_candidates: int = 4,
     K: Intrinsics | None = None,
 ):
-    """Propose + DISPATCH the verification batch, without syncing.
+    """Host-side proposal only — no device dispatch.
 
-    Returns `(live, rows_dev, attempted)`: the live `(i, j, T_init)`
-    candidate list (host), the (B, verify.ROW_SIZE) DEVICE array of flat
-    verification rows (B = power-of-two padded batch; rows ≥ len(live)
-    are padding repeats of row 0), and all attempted pairs.  `rows_dev`
-    is None when nothing was verifiable.  Callers that want the
-    fused-optimize path chain more device work onto `rows_dev` and sync
-    once (slam._attempt_loop_closure); `find_closures` below is the plain
-    sync wrapper.
-    """
+    Returns `(live, padded, attempted, v0)`: the live `(i, j, T_init)`
+    candidate list, the power-of-two padded candidate list (repeats of
+    entry 0), all attempted pairs, and the shared VerifyTable meta (None
+    ⇒ the caller must use the grid-hash fallback).  `live` is empty when
+    nothing was verifiable."""
     attempted: set[tuple[int, int]] = set()
     verifiable = np.asarray([r.cloud is not None for r in keyframes], bool)
     cands = propose_candidates(kf_poses, pg_cfg, exclude_pairs,
@@ -288,23 +284,52 @@ def propose_and_verify(
             while cap & (cap - 1):       # keep batch buckets powers of two
                 cap += 1
     if not live:
-        return live, None, attempted
+        return live, [], attempted, None
     padded = _pad_batch(live, cap)
-    # NB: subsampling the candidate clouds here (points[::k] per padded
-    # candidate) was measured round 5 and LOSES 2× over the remote
-    # tunnel: the ~24 extra per-candidate slice dispatches cost more than
-    # the verify gather they save (111.5 → 53.7 fps on the chunked VGA
-    # loop at identical closures/ATE) — the attempt's cost is dispatch-
-    # and sync-bound, not verify-compute-bound.  Don't re-add without
-    # pre-subsampling ONCE at promotion.
+    v0 = (uniform_verify_table(keyframes, [i for i, _, _ in live])
+          if K is not None else None)
+    return live, padded, attempted, v0
+
+
+def propose_and_verify(
+    keyframes,
+    kf_poses: Sequence[np.ndarray],
+    icp_cfg: ICPConfig,
+    pg_cfg: PoseGraphConfig,
+    exclude_pairs: set[tuple[int, int]] | None = None,
+    max_candidates: int = 4,
+    K: Intrinsics | None = None,
+):
+    """Propose + DISPATCH the verification batch, without syncing.
+
+    Returns `(live, rows_dev, attempted)`: the live `(i, j, T_init)`
+    candidate list (host), the (B, verify.ROW_SIZE) DEVICE array of flat
+    verification rows (B = power-of-two padded batch; rows ≥ len(live)
+    are padding repeats of row 0), and all attempted pairs.  `rows_dev`
+    is None when nothing was verifiable.  `find_closures` below is the
+    plain sync wrapper; SlamSystem's production attempt instead uses
+    `propose_attempt` + `fused_attempt_jit` (verification AND pose-graph
+    optimization in ONE dispatch).
+
+    NB: subsampling the candidate clouds here (points[::k] per padded
+    candidate) was measured round 5 and LOSES 2× over the remote tunnel:
+    the ~24 extra per-candidate slice dispatches cost more than the
+    verify gather they save (111.5 → 53.7 fps on the chunked VGA loop at
+    identical closures/ATE) — the attempt's cost is dispatch- and
+    sync-bound, not verify-compute-bound.  Don't re-add without
+    pre-subsampling ONCE at promotion.
+    """
+    live, padded, attempted, v0 = propose_attempt(
+        keyframes, kf_poses, icp_cfg, pg_cfg, exclude_pairs,
+        max_candidates, K)
+    if not live:
+        return live, None, attempted
     clouds_j = PointCloud(
         points=jnp.stack([keyframes[j].cloud.points for _, j, _ in padded]),
         normals=jnp.stack([keyframes[j].cloud.normals for _, j, _ in padded]),
         mask=jnp.stack([keyframes[j].cloud.mask for _, j, _ in padded]),
     )
     T_inits = jnp.asarray(np.stack([T for _, _, T in padded]))
-    v0 = (uniform_verify_table(keyframes, [i for i, _, _ in live])
-          if K is not None else None)
     if v0 is not None:
         tables = jnp.stack([keyframes[i].verify.packed for i, _, _ in padded])
         rows_dev = _verify_projective_pairs_jit(
@@ -320,6 +345,78 @@ def propose_and_verify(
         )
         rows_dev = _verify_pairs_jit(clouds_i, clouds_j, T_inits, icp_cfg)
     return live, rows_dev, attempted
+
+
+@partial(jax.jit, static_argnames=("h", "w", "icp_cfg", "pg_cfg",
+                                   "use_dense", "lc_weight"))
+def fused_attempt_jit(tables, pts, nrm, msk, K_lvl: Intrinsics,
+                      T_inits: jnp.ndarray, n_live: jnp.ndarray,
+                      graph, cand_i: jnp.ndarray, cand_j: jnp.ndarray,
+                      h: int, w: int, icp_cfg: ICPConfig,
+                      pg_cfg: PoseGraphConfig, use_dense: bool,
+                      lc_weight: float) -> jnp.ndarray:
+    """The ENTIRE loop-closure attempt as ONE device dispatch.
+
+    Projective verification of B candidates (stacked INSIDE the jit —
+    `tables`/`pts`/`nrm`/`msk` are tuples of per-candidate arrays, so the
+    host issues no per-candidate stack/slice dispatches), the traced
+    acceptance gates, candidate-edge extension of the bucketed graph
+    (weight = lc_weight·accept — rejected candidates weigh zero), the
+    pose-graph solve, and the flat readback packing.  The previous shape
+    was ~10-15 separate dispatches per attempt (stacks, eager gate/concat
+    chain, solve, pack), each ~1 ms of tunnel latency.
+
+    `n_live` is TRACED (no recompile per live-candidate count);
+    `use_dense` is the host-resolved solver choice
+    (posegraph.resolve_solver — static so the solver specializes).
+    Returns flat f32: rows.reshape(-1) ++ poses.reshape(-1)
+    (rows: (B, verify.ROW_SIZE); poses: graph.poses.shape).
+    """
+    from tpuslam.backend.posegraph import (
+        optimize_pose_graph,
+        optimize_pose_graph_cg,
+    )
+    from tpuslam.backend.verify import flat_verify_scalars, passes_gates_traced
+
+    tb = jnp.stack(tables)
+    P = jnp.stack(pts)
+    N = jnp.stack(nrm)
+    M = jnp.stack(msk)
+
+    def one(table, p, n_, m, T0):
+        return flat_verify_scalars(align_cloud_to_organized(
+            PointCloud(points=p, normals=n_, mask=m), table, h, w,
+            K_lvl, T0, icp_cfg))
+
+    rows = jax.vmap(one)(tb, P, N, M, T_inits)
+    b = rows.shape[0]
+    is_real = (jnp.arange(b) < n_live).astype(rows.dtype)
+    accept = passes_gates_traced(rows, pg_cfg) * is_real
+    cand_T = rows[:, FlatICP.T].reshape(b, 4, 4).astype(graph.edge_T.dtype)
+    # a diverged verification can return a non-finite pose (its gate
+    # weight is 0) but a NaN edge_T would still poison the solve through
+    # 0·NaN=NaN in the edge residuals: sanitize to identity
+    finite_T = jnp.all(jnp.isfinite(cand_T), axis=(1, 2))
+    cand_T = jnp.where(finite_T[:, None, None], cand_T,
+                       jnp.eye(4, dtype=cand_T.dtype))
+    g_ext = graph._replace(
+        edge_i=jnp.concatenate([graph.edge_i, cand_i]),
+        edge_j=jnp.concatenate([graph.edge_j, cand_j]),
+        edge_T=jnp.concatenate([graph.edge_T, cand_T]),
+        edge_weight=jnp.concatenate([graph.edge_weight,
+                                     lc_weight * accept]),
+    )
+    if use_dense:
+        poses_opt, _cost = optimize_pose_graph(g_ext, pg_cfg, 0.5)
+    else:
+        poses_opt, _cost = optimize_pose_graph_cg(
+            g_ext, pg_cfg, 0.5,
+            cg_iters=int(getattr(pg_cfg, "cg_iters", 128)),
+            cg_tol=float(getattr(pg_cfg, "cg_tol", 1e-6)))
+    return jnp.concatenate([
+        rows.reshape(-1).astype(jnp.float32),
+        poses_opt.reshape(-1).astype(jnp.float32),
+    ])
 
 
 def gate_rows(live, s: np.ndarray, pg_cfg: PoseGraphConfig) -> list[Closure]:

@@ -383,6 +383,19 @@ def optimize_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig,
     return poses, cost
 
 
+def resolve_solver(cfg: PoseGraphConfig, live_nodes: int | None = None,
+                   capacity: int | None = None) -> str:
+    """The "auto" solver decision as a host-side predicate (shared by
+    `optimize` and callers that bake the choice into a fused jit as a
+    static arg — e.g. loopclosure.fused_attempt_jit)."""
+    solver = getattr(cfg, "solver", "auto")
+    if solver == "auto":
+        n = live_nodes if live_nodes is not None else capacity
+        solver = ("dense" if n <= getattr(cfg, "dense_max_nodes", 256)
+                  else "cg")
+    return solver
+
+
 def optimize(graph: PoseGraph, cfg: PoseGraphConfig,
              huber_delta: float = 0.5, live_nodes: int | None = None):
     """Solver-dispatching entry point: cfg.solver ∈ {"auto", "dense", "cg"}.
@@ -395,11 +408,7 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig,
     padded capacity; pair with `GraphHost.graph(bucketed=True)` so the
     dense solve also DISPATCHES at the live bucket, not the high-water
     capacity."""
-    solver = getattr(cfg, "solver", "auto")
-    if solver == "auto":
-        n = live_nodes if live_nodes is not None else graph.poses.shape[0]
-        solver = ("dense" if n <= getattr(cfg, "dense_max_nodes", 256)
-                  else "cg")
+    solver = resolve_solver(cfg, live_nodes, capacity=graph.poses.shape[0])
     if solver == "cg":
         return optimize_pose_graph_cg(
             graph, cfg, huber_delta,

@@ -331,9 +331,12 @@ class SlamSystem:
         """
         import jax.numpy as jnp
 
-        from tpuslam.backend.loopclosure import propose_and_verify
-        from tpuslam.backend.posegraph import optimize
-        from tpuslam.backend.verify import passes_gates_traced
+        from tpuslam.backend.loopclosure import (
+            fused_attempt_jit,
+            propose_attempt,
+        )
+        from tpuslam.backend.posegraph import resolve_solver
+        from tpuslam.backend.verify import ROW_SIZE
 
         # snapshot under the lock (async backend runs concurrently with
         # tracking); the expensive ICP verification runs outside it
@@ -346,29 +349,78 @@ class SlamSystem:
             known = set(self._known_edges) | set(self._failed_pairs)
             g = self.graph.graph(bucketed=True)
             live_nodes = self.graph.num_nodes
-        live, rows_dev, attempted = propose_and_verify(
+        live, padded, attempted, v0 = propose_attempt(
             keyframes, kf_poses, self.cfg.icp, self.cfg.posegraph,
             exclude_pairs=known, K=self.odo.K,
             max_candidates=max_candidates,
         )
-        if rows_dev is None:
+        if not live:
             with self._lock:
                 self._failed_pairs.update(attempted)
             return None
-        b = rows_dev.shape[0]
-        is_real = (jnp.arange(b) < len(live)).astype(rows_dev.dtype)
-        accept = passes_gates_traced(rows_dev, self.cfg.posegraph) * is_real
+        b = len(padded)
         cand_i = jnp.asarray([i for i, _, _ in live]
                              + [0] * (b - len(live)), dtype=g.edge_i.dtype)
         cand_j = jnp.asarray([j for _, j, _ in live]
                              + [0] * (b - len(live)), dtype=g.edge_j.dtype)
+        T_inits = jnp.asarray(np.stack([T for _, _, T in padded]))
+        use_dense = resolve_solver(self.cfg.posegraph, live_nodes,
+                                   capacity=g.poses.shape[0]) == "dense"
+        if v0 is not None:
+            # production path: verification + gates + graph extension +
+            # pose-graph solve + readback packing in ONE dispatch
+            packed = fused_attempt_jit(
+                tuple(keyframes[i].verify.packed for i, _, _ in padded),
+                tuple(keyframes[j].cloud.points for _, j, _ in padded),
+                tuple(keyframes[j].cloud.normals for _, j, _ in padded),
+                tuple(keyframes[j].cloud.mask for _, j, _ in padded),
+                self.odo.K.scaled(1.0 / (2 ** v0.level)), T_inits,
+                jnp.int32(len(live)), g, cand_i, cand_j,
+                v0.height, v0.width, self.cfg.icp, self.cfg.posegraph,
+                use_dense, LC_EDGE_WEIGHT)
+        else:
+            # grid-hash fallback (records restored from pre-table
+            # checkpoints): verify, then chain the same gate-weighted
+            # solve eagerly — rare, so the extra dispatches don't matter
+            packed = self._chain_attempt_fallback(
+                keyframes, padded, live, T_inits, g, cand_i, cand_j,
+                live_nodes)
+        return PendingAttempt(
+            live=live, attempted=attempted, packed=packed,
+            rows_shape=(b, ROW_SIZE),
+            poses_shape=tuple(g.poses.shape), live_nodes=live_nodes)
+
+    def _chain_attempt_fallback(self, keyframes, padded, live, T_inits, g,
+                                cand_i, cand_j, live_nodes):
+        """Grid-hash attempt chain for records without verify tables."""
+        import jax.numpy as jnp
+
+        from tpuslam.backend.loopclosure import _verify_pairs_jit
+        from tpuslam.backend.posegraph import optimize
+        from tpuslam.backend.verify import passes_gates_traced
+        from tpuslam.geom.cloud import PointCloud
         from tpuslam.icp import FlatICP
 
-        cand_T = rows_dev[:, FlatICP.T].reshape(b, 4, 4).astype(g.edge_T.dtype)
-        # A diverged verification can return a non-finite pose (the gates
-        # anticipate this — passes_gates has an isfinite term, so its
-        # weight is 0) but a NaN edge_T would still poison the solve
-        # through 0·NaN=NaN in the edge residuals: sanitize to identity.
+        def stack(field):
+            return jnp.stack([getattr(keyframes[k].cloud, field)
+                              for k, _, _ in padded])
+
+        def stack_j(field):
+            return jnp.stack([getattr(keyframes[k].cloud, field)
+                              for _, k, _ in padded])
+
+        clouds_i = PointCloud(points=stack("points"),
+                              normals=stack("normals"), mask=stack("mask"))
+        clouds_j = PointCloud(points=stack_j("points"),
+                              normals=stack_j("normals"),
+                              mask=stack_j("mask"))
+        rows_dev = _verify_pairs_jit(clouds_i, clouds_j, T_inits,
+                                     self.cfg.icp)
+        b = rows_dev.shape[0]
+        is_real = (jnp.arange(b) < len(live)).astype(rows_dev.dtype)
+        accept = passes_gates_traced(rows_dev, self.cfg.posegraph) * is_real
+        cand_T = rows_dev[:, FlatICP.T].reshape(b, 4, 4).astype(
+            g.edge_T.dtype)
         finite_T = jnp.all(jnp.isfinite(cand_T), axis=(1, 2))
         cand_T = jnp.where(finite_T[:, None, None], cand_T,
                            jnp.eye(4, dtype=cand_T.dtype))
@@ -381,14 +433,10 @@ class SlamSystem:
         )
         poses_opt, _cost = optimize(g_ext, self.cfg.posegraph,
                                     live_nodes=live_nodes)
-        packed = jnp.concatenate([
+        return jnp.concatenate([
             rows_dev.reshape(-1).astype(jnp.float32),
             poses_opt.reshape(-1).astype(jnp.float32),
         ])
-        return PendingAttempt(
-            live=live, attempted=attempted, packed=packed,
-            rows_shape=tuple(rows_dev.shape),
-            poses_shape=tuple(poses_opt.shape), live_nodes=live_nodes)
 
     def _drain_closure_attempt(self, p: PendingAttempt,
                                flat: Optional[np.ndarray] = None) -> bool:
