@@ -138,6 +138,15 @@ def test_fused_attempt_race_falls_back_to_fresh_solve(monkeypatch):
     application (async tracking), the stale bucketed poses must NOT be
     applied — the attempt re-solves on the current graph instead, so the
     concurrently-added node keeps a real pose."""
+    import jax
+
+    # Compiling the (large) fused-attempt program on top of the FULL
+    # suite's accumulated in-process executables segfaulted XLA:CPU twice
+    # at exactly this point (passes standalone and in every half-suite
+    # bisect — a cumulative-state native crash, not a logic failure).
+    # Start from a clean executable cache; only the cheap viz/voxel tests
+    # follow, so the recompile cost is local.
+    jax.clear_caches()
     from tpuslam.backend import posegraph as pg_mod
     from tpuslam.config import (
         ICPConfig,
