@@ -9,7 +9,13 @@ import sys
 
 
 def main() -> int:
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    # 240-frame default (round 5; was 60): the scan is ONE dispatch, so a
+    # short sequence carries the tunnel's fixed ~25-30 ms round trip as
+    # ~0.4 ms/frame of phantom overhead — 60 frames read 694 fps where
+    # 240 read 882 for identical code (device floor ≈970, BASELINE.md).
+    # Real TUM sequences are 600-3000 frames; 240 is the more
+    # representative point and still bounds compile/upload time.
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 240
     from tpuslam.bench.harness import run_bench
 
     r = run_bench(frames=frames, height=480, width=640)
