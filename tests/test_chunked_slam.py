@@ -253,6 +253,28 @@ def test_superchunk_matches_chunk8(two_lap_sequence):
         (c.i, c.j) for c in d2.closures]
 
 
+def test_boundary_odd_lengths_and_sub_fallback(two_lap_sequence):
+    """Chunk lengths not divisible by chunk_sub fall back to one
+    sub-chunk spanning the whole call; chunk_sub larger than the chunk
+    likewise.  Library users may feed arbitrary lengths — the CLI only
+    sends full chunks, but the fallback must stay correct."""
+    gt, depths = two_lap_sequence
+    slam = SlamSystem(K, CFG, enable_loop_closure=True,
+                      chunk_mode="boundary", chunk_sub=8)
+    ts = np.arange(FRAMES) / 30.0
+    lengths = [8, 6, 12, 8, 5, 9]                     # sums to 48
+    i = 0
+    for ln in lengths:
+        out = slam.process_chunk(depths[i:i + ln], ts[i:i + ln])
+        assert out.shape == (ln, 4, 4)
+        i += ln
+    slam.finalize()
+    assert len(slam.odo.trajectory) == FRAMES
+    ts_e, est = slam.trajectory()
+    m = ate_rmse(ts_e, est, ts, gt, max_difference=0.005)
+    assert m["rmse"] < 0.02, m
+
+
 def test_boundary_lost_replays_per_frame(two_lap_sequence):
     """Boundary mode keeps the lost-chunk per-frame replay semantics."""
     gt, depths = two_lap_sequence

@@ -17,6 +17,11 @@ TPU design — two drivers over one jitted core:
     keyframe state lives in the scan carry and promotion is a
     `tree_map(where)` select.  This is the benchmark path (SURVEY.md §3.5)
     and the flagship jitted program for the compile-check entry point.
+  * `scan_superchunk_frozen` — the production CHUNKED streaming scan
+    (SlamSystem.process_chunk, boundary mode): G sub-chunks per dispatch
+    against a frozen keyframe with ON-DEVICE boundary promotion; emits
+    only keyframe-relative poses so the host composes world poses in f64
+    and the deferred backend stays bit-deterministic.
 
 Keyframe criterion: relative motion (translation/rotation) beyond threshold
 OR inlier fraction below threshold (overlap loss) — SURVEY.md §2a R9.
