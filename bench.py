@@ -49,6 +49,8 @@ def main() -> int:
         detail["slam_fps_reps"] = r["slam"].get("slam_fps_reps")
         detail["slam_loop_closures_chunked_async"] = (
             r["slam"]["loop_closures_chunked_async"])
+        detail["slam_loop_closures_chunked_inline"] = (
+            r["slam"].get("loop_closures_chunked_inline"))
         detail["upload_fps_equiv"] = round(r["slam"]["upload_fps_equiv"], 1)
         detail["slam_ate_rmse_m"] = round(r["slam"]["slam_ate_rmse_m"], 6)
         detail["slam_chunked_ate_rmse_m"] = round(

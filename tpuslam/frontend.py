@@ -641,10 +641,10 @@ def _vmem_resident(kf_packed: tuple) -> tuple:
 
 
 class FlatFrozen:
-    """Per-frame column layout of `scan_chunk_frozen`'s (C, SIZE) readback.
-    No world pose — the host composes world = T_world_kf · REL_T in f64,
-    which is what makes the deferred backend bit-deterministic (the scan
-    output is pose-correction-independent)."""
+    """Per-frame column layout of `scan_superchunk_frozen`'s (N, SIZE)
+    readback.  No world pose — the host composes world = T_world_kf ·
+    REL_T in f64, which is what makes the deferred backend
+    bit-deterministic (the scan output is pose-correction-independent)."""
 
     REL_T = slice(0, 16)       # T_kf_cam vs the frozen keyframe, row-major
     PROMOTE = 16
