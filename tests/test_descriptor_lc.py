@@ -127,6 +127,41 @@ def test_descriptor_path_closes_drifted_loop(drifted_run_inputs):
     assert m_on["rmse"] < 0.5 * m_off["rmse"], (m_on, m_off)
 
 
+def test_descriptor_with_deferred_backend(drifted_run_inputs):
+    """The two round-5 features interact: descriptor candidates ride the
+    same fused attempt the deferred backend defers — the drifted loop must
+    close identically with async_backend on, bit-deterministically."""
+    gt, depths = drifted_run_inputs
+    ts = np.arange(FRAMES) / 30.0
+
+    def run(async_b):
+        slam = SlamSystem(K, _cfg(True), enable_loop_closure=True,
+                          chunk_mode="boundary", async_backend=async_b)
+        bias = np.eye(4, dtype=np.float32)
+        bias[2, 3] = BIAS_PER_CHUNK
+        for i in range(0, FRAMES, CHUNK):
+            if i > 0:
+                slam.odo.T_world_kf = (
+                    bias @ slam.odo.T_world_kf.astype(np.float32))
+            slam.process_chunk(depths[i:i + CHUNK], ts[i:i + CHUNK])
+        slam.finalize()
+        return slam
+
+    sync = run(False)
+    deferred = run(True)
+    assert len(sync.closures) >= 1
+    assert [(c.i, c.j) for c in deferred.closures] == [
+        (c.i, c.j) for c in sync.closures]
+    # NO bit-equality assertion here: this harness MUTATES T_world_kf
+    # between chunks (the drift injection), which lands before the
+    # deferred drain but after the sync drain — an external mutation
+    # outside the determinism contract (test_chunked_slam covers the
+    # unmutated byte-equality).  Both runs must still collapse the drift:
+    m_sync = ate_rmse(*sync.trajectory(), ts, gt, max_difference=0.005)
+    m_def = ate_rmse(*deferred.trajectory(), ts, gt, max_difference=0.005)
+    assert m_sync["rmse"] < 0.02 and m_def["rmse"] < 0.02, (m_sync, m_def)
+
+
 def test_descriptor_survives_checkpoint(tmp_path, drifted_run_inputs):
     from tpuslam.utils.checkpoint import load_checkpoint, save_checkpoint
 
